@@ -1,0 +1,22 @@
+from .registry import (BACKBONES, DETECTORS, HEADS, LOSSES, NECKS,
+                       ROI_EXTRACTORS, SHARED_HEADS)
+from . import losses  # registers loss classes
+from .backbones.resnet import ResNet
+from .shared_heads.res_layer import ResLayer
+from .anchor_heads.rpn_head import RPNHead, rpn_proposals_single
+from .bbox_heads.bbox_head import (BBoxHead, bbox_head_loss, flatten_roi_feats,
+                                   get_det_bboxes)
+from .bbox_heads.selsa_bbox_head import SelsaAttention, SelsaBBoxHead
+from .bbox_heads.hrnmp_bbox_head import HRNMPBBoxHead, triplet_nonlocal_loss
+from .roi_extractor import SingleRoIExtractor
+from .two_stage import TwoStageModule
+from .builder import (build_detector, build_model_module, build_roi_extractor)
+
+__all__ = [
+    "BACKBONES", "NECKS", "ROI_EXTRACTORS", "SHARED_HEADS", "HEADS", "LOSSES",
+    "DETECTORS", "ResNet", "ResLayer", "RPNHead", "rpn_proposals_single",
+    "BBoxHead", "SelsaBBoxHead", "SelsaAttention", "HRNMPBBoxHead",
+    "triplet_nonlocal_loss", "bbox_head_loss", "get_det_bboxes",
+    "flatten_roi_feats", "SingleRoIExtractor", "TwoStageModule",
+    "build_detector", "build_model_module", "build_roi_extractor",
+]

@@ -1,0 +1,153 @@
+"""Base RoI bbox head + loss/decoding as pure functions.
+
+Reference `/root/reference/mmdet/models/bbox_heads/bbox_head.py:14-169`:
+two fc layers (cls / class-agnostic reg), CE + SmoothL1 on positives, and
+`get_det_bboxes` = softmax → delta2bbox → rescale → multiclass_nms (with
+list-of-scores averaging at bbox_head.py:141-142).
+
+Everything here is fixed-shape: sampled RoI sets have a static size with
+weight vectors doing the masking, exactly like the reference's
+label_weights/bbox_weights path — so the same math vectorizes onto the TPU
+without data-dependent shapes.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.boxes import delta2bbox
+from ...ops.nms import multiclass_nms_static
+from ..layers import Linear
+from ..losses import accuracy, build_loss, weight_reduce_loss
+from ..registry import HEADS
+
+
+def flatten_roi_feats(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, 7, 7, C) NHWC → (N, C*49) in the torch NCHW flattening order.
+
+    The reference flattens (N, C, 7, 7) with ``view(N, -1)``
+    (selsa_bbox_head.py:220); transposing first keeps imported torch fc
+    weights valid without permutation.
+    """
+    if x.ndim == 2:
+        return x
+    n = x.shape[0]
+    return x.transpose(0, 3, 1, 2).reshape(n, -1)
+
+
+@HEADS.register_module
+class BBoxHead(nn.Module):
+    with_avg_pool: bool = False
+    with_cls: bool = True
+    with_reg: bool = True
+    roi_feat_size: int = 7
+    in_channels: int = 256
+    num_classes: int = 81
+    target_means: Sequence[float] = (0., 0., 0., 0.)
+    target_stds: Sequence[float] = (0.1, 0.1, 0.2, 0.2)
+    reg_class_agnostic: bool = False
+    loss_cls: Any = None
+    loss_bbox: Any = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *unused_args, **unused_kw):
+        if self.with_avg_pool and x.ndim == 4:
+            x = x.mean(axis=(1, 2))
+        x = flatten_roi_feats(x)
+        cls_score = (Linear(self.num_classes, std=0.01, dtype=self.dtype,
+                            name="fc_cls")(x) if self.with_cls else None)
+        out_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        bbox_pred = (Linear(out_dim, std=0.001, dtype=self.dtype,
+                            name="fc_reg")(x) if self.with_reg else None)
+        return cls_score, bbox_pred
+
+
+def bbox_head_loss(cls_score: Optional[jnp.ndarray],
+                   bbox_pred: Optional[jnp.ndarray],
+                   labels: jnp.ndarray,
+                   label_weights: jnp.ndarray,
+                   bbox_targets: Optional[jnp.ndarray],
+                   bbox_weights: Optional[jnp.ndarray],
+                   loss_cls_fn, loss_bbox_fn,
+                   reg_class_agnostic: bool = True,
+                   reduction_override: Optional[str] = None,
+                   prefix: str = "") -> dict:
+    """`bbox_head.py:loss` (98-130) with masks instead of index selection.
+
+    The reference gathers positive rows (`pos_inds = labels > 0`); here the
+    positive SmoothL1 is weighted by ``pos_mask`` which is numerically
+    identical (avg_factor stays the full row count, bbox_head.py:128).
+    """
+    losses = {}
+    if cls_score is not None:
+        avg_factor = jnp.maximum((label_weights > 0).sum().astype(jnp.float32), 1.0)
+        losses[prefix + "loss_cls"] = loss_cls_fn(
+            cls_score, labels, label_weights, avg_factor=avg_factor,
+            reduction_override=reduction_override)
+        losses[prefix + "acc"] = accuracy(cls_score, labels, mask=label_weights > 0)
+    if bbox_pred is not None:
+        n = bbox_pred.shape[0]
+        pos_mask = (labels > 0).astype(jnp.float32)
+        if reg_class_agnostic:
+            pred = bbox_pred.reshape(n, 4)
+        else:
+            pred = jnp.take_along_axis(
+                bbox_pred.reshape(n, -1, 4),
+                labels[:, None, None].astype(jnp.int32), axis=1)[:, 0, :]
+        w = bbox_weights * pos_mask[:, None]
+        losses[prefix + "loss_bbox"] = loss_bbox_fn(
+            pred, bbox_targets, w, avg_factor=jnp.float32(n),
+            reduction_override=reduction_override)
+    return losses
+
+
+def get_det_bboxes(rois: jnp.ndarray,
+                   cls_score,
+                   bbox_pred,
+                   img_shape: jnp.ndarray,
+                   scale_factor,
+                   target_means, target_stds,
+                   rescale: bool = False,
+                   cfg=None,
+                   valid: Optional[jnp.ndarray] = None):
+    """`bbox_head.py:get_det_bboxes` (132-169), static shapes.
+
+    rois: (N, 4) boxes (no batch column — single-image use).
+    cls_score: (N, C) or a list of them (averaged, ref:141-142).
+    Returns (dets (max, 5), labels (max,), mask) when cfg has nms, else
+    (boxes, softmax scores).
+    """
+    if isinstance(cls_score, (list, tuple)):
+        cls_score = sum(cls_score) / float(len(cls_score))
+    scores = jax.nn.softmax(cls_score, axis=-1) if cls_score is not None else None
+
+    if bbox_pred is not None:
+        bboxes = delta2bbox(rois, bbox_pred, target_means, target_stds, img_shape)
+    else:
+        bboxes = rois
+        if img_shape is not None:
+            h = img_shape[0].astype(jnp.float32)
+            w = img_shape[1].astype(jnp.float32)
+            bboxes = jnp.stack([
+                jnp.clip(bboxes[:, 0], 0, w - 1), jnp.clip(bboxes[:, 1], 0, h - 1),
+                jnp.clip(bboxes[:, 2], 0, w - 1), jnp.clip(bboxes[:, 3], 0, h - 1),
+            ], axis=-1)
+
+    if rescale:
+        sf = jnp.asarray(scale_factor, jnp.float32)
+        if sf.ndim == 0:
+            bboxes = bboxes / sf
+        else:
+            bboxes = (bboxes.reshape(bboxes.shape[0], -1, 4) / sf).reshape(
+                bboxes.shape[0], -1)
+
+    if cfg is None or "nms" not in cfg:
+        return bboxes, scores
+    dets, labels, mask = multiclass_nms_static(
+        bboxes, scores, float(cfg["score_thr"]),
+        float(cfg["nms"]["iou_thr"]), int(cfg["max_per_img"]), valid=valid)
+    return dets, labels, mask

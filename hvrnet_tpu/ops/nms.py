@@ -1,0 +1,175 @@
+"""Shape-static NMS family for TPU.
+
+The reference implements NMS as a CUDA bitmask kernel
+(`/root/reference/mmdet/ops/nms/src/nms_kernel.cu:14-22` — IoU in the
++1-pixel convention, greedy in descending score order) and soft-NMS in Cython
+(`soft_nms_cpu.pyx:22`).  On TPU, dynamic output shapes are hostile to XLA, so
+all variants here are fixed-size: they run a greedy *pick loop* — ``max_out``
+iterations of (argmax over live scores → suppress overlaps) — and return
+padded index arrays plus validity masks.  The pick loop is mathematically
+identical to greedy NMS truncated to its first ``max_out`` survivors, which is
+exactly the reference's ``nms(...)[:nms_post]`` usage pattern.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _iou_row(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """IoU of one box vs a set, +1 convention (nms_kernel.cu:14-22)."""
+    lt = jnp.maximum(box[:2], boxes[:, :2])
+    rb = jnp.minimum(box[2:4], boxes[:, 2:4])
+    wh = jnp.clip(rb - lt + 1.0, 0.0, None)
+    inter = wh[:, 0] * wh[:, 1]
+    area_a = (box[2] - box[0] + 1.0) * (box[3] - box[1] + 1.0)
+    area_b = (boxes[:, 2] - boxes[:, 0] + 1.0) * (boxes[:, 3] - boxes[:, 1] + 1.0)
+    return inter / jnp.maximum(area_a + area_b - inter, 1e-10)
+
+
+def nms_static(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float,
+               max_out: int, valid: Optional[jnp.ndarray] = None
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS with a static number of outputs.
+
+    Args:
+        boxes: (N, 4) float32.
+        scores: (N,) float32.
+        iou_thr: suppression threshold.
+        max_out: number of survivors to emit (pad + mask when fewer exist).
+        valid: optional (N,) bool, False rows are ignored entirely.
+
+    Returns:
+        keep_idx: (max_out,) int32 indices into the input (0 where invalid).
+        keep_mask: (max_out,) bool.
+    """
+    n = boxes.shape[0]
+    live = jnp.where(valid, scores, NEG_INF) if valid is not None else scores
+    live = live.astype(jnp.float32)
+
+    def body(i, carry):
+        live, keep_idx, keep_mask = carry
+        j = jnp.argmax(live)
+        ok = live[j] > NEG_INF / 2
+        keep_idx = keep_idx.at[i].set(jnp.where(ok, j, 0).astype(jnp.int32))
+        keep_mask = keep_mask.at[i].set(ok)
+        ious = _iou_row(boxes[j], boxes)
+        suppress = ious > iou_thr
+        live = jnp.where(ok & suppress, NEG_INF, live)
+        live = live.at[j].set(NEG_INF)
+        return live, keep_idx, keep_mask
+
+    keep_idx = jnp.zeros((max_out,), jnp.int32)
+    keep_mask = jnp.zeros((max_out,), bool)
+    _, keep_idx, keep_mask = jax.lax.fori_loop(
+        0, max_out, body, (live, keep_idx, keep_mask))
+    return keep_idx, keep_mask
+
+
+def nms(dets: jnp.ndarray, iou_thr: float, max_out: Optional[int] = None,
+        valid: Optional[jnp.ndarray] = None):
+    """Reference-style entry: dets (N, 5) = boxes+score → (kept dets, idx, mask).
+
+    Mirrors `mmdet.ops.nms` (`nms_wrapper.py`) modulo static padding.
+    """
+    max_out = max_out or dets.shape[0]
+    idx, mask = nms_static(dets[:, :4], dets[:, 4], iou_thr, max_out, valid)
+    kept = dets[idx] * mask[:, None]
+    return kept, idx, mask
+
+
+def soft_nms_static(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float = 0.3,
+                    method: str = "linear", sigma: float = 0.5,
+                    min_score: float = 1e-3, max_out: int = 300,
+                    valid: Optional[jnp.ndarray] = None):
+    """Soft-NMS (`soft_nms_cpu.pyx:22`) as a static pick-and-decay loop.
+
+    Present for API parity (unused by the two reference configs).
+    """
+    assert method in ("linear", "gaussian", "naive")
+    live = jnp.where(valid, scores, NEG_INF) if valid is not None else scores
+    live = live.astype(jnp.float32)
+
+    def body(i, carry):
+        live, keep_idx, keep_score, keep_mask = carry
+        j = jnp.argmax(live)
+        ok = live[j] > min_score
+        keep_idx = keep_idx.at[i].set(jnp.where(ok, j, 0).astype(jnp.int32))
+        keep_score = keep_score.at[i].set(jnp.where(ok, live[j], 0.0))
+        keep_mask = keep_mask.at[i].set(ok)
+        ious = _iou_row(boxes[j], boxes)
+        if method == "linear":
+            decay = jnp.where(ious > iou_thr, 1.0 - ious, 1.0)
+        elif method == "gaussian":
+            decay = jnp.exp(-(ious * ious) / sigma)
+        else:  # naive == hard nms
+            decay = jnp.where(ious > iou_thr, 0.0, 1.0)
+        live = jnp.where(ok, live * decay, live)
+        live = jnp.where(live < min_score, NEG_INF, live)
+        live = live.at[j].set(NEG_INF)
+        return live, keep_idx, keep_score, keep_mask
+
+    keep_idx = jnp.zeros((max_out,), jnp.int32)
+    keep_score = jnp.zeros((max_out,), jnp.float32)
+    keep_mask = jnp.zeros((max_out,), bool)
+    _, keep_idx, keep_score, keep_mask = jax.lax.fori_loop(
+        0, max_out, body, (live, keep_idx, keep_score, keep_mask))
+    return keep_idx, keep_score, keep_mask
+
+
+def multiclass_nms_static(multi_bboxes: jnp.ndarray, multi_scores: jnp.ndarray,
+                          score_thr: float, iou_thr: float, max_num: int,
+                          valid: Optional[jnp.ndarray] = None,
+                          score_factors: Optional[jnp.ndarray] = None
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Multi-class NMS (`/root/reference/mmdet/core/post_processing/bbox_nms.py:6-67`).
+
+    Args:
+        multi_bboxes: (N, 4) or (N, C*4).
+        multi_scores: (N, C); column 0 is background and is skipped.
+        valid: optional (N,) mask for padded proposal rows.
+
+    Returns:
+        dets: (max_num, 5) [x1, y1, x2, y2, score], zero-padded.
+        labels: (max_num,) int32, 0-based foreground labels.
+        mask: (max_num,) bool validity.
+    """
+    n, num_classes = multi_scores.shape
+    fg = num_classes - 1
+
+    if multi_bboxes.shape[-1] == 4:
+        cls_boxes = jnp.broadcast_to(multi_bboxes[None], (fg, n, 4))
+    else:
+        cls_boxes = multi_bboxes.reshape(n, num_classes, 4)[:, 1:, :].transpose(1, 0, 2)
+    cls_scores = multi_scores[:, 1:].T  # (fg, N)
+    if score_factors is not None:
+        cls_scores = cls_scores * score_factors[None, :]
+    cls_valid = cls_scores > score_thr
+    if valid is not None:
+        cls_valid = cls_valid & valid[None, :]
+
+    per_class = jax.vmap(
+        lambda b, s, v: nms_static(b, s, iou_thr, min(n, max_num), v))
+    keep_idx, keep_mask = per_class(cls_boxes, cls_scores, cls_valid)  # (fg, K)
+
+    k = keep_idx.shape[1]
+    flat_scores = jnp.where(
+        keep_mask,
+        jnp.take_along_axis(cls_scores, keep_idx, axis=1),
+        NEG_INF).reshape(-1)
+    flat_boxes = jnp.take_along_axis(
+        cls_boxes, keep_idx[:, :, None], axis=1).reshape(-1, 4)
+    flat_labels = jnp.repeat(jnp.arange(fg, dtype=jnp.int32), k)
+
+    top_scores, top_idx = jax.lax.top_k(flat_scores, max_num)
+    out_mask = top_scores > NEG_INF / 2
+    out_boxes = flat_boxes[top_idx] * out_mask[:, None]
+    out_scores = jnp.where(out_mask, top_scores, 0.0)
+    out_labels = jnp.where(out_mask, flat_labels[top_idx], 0)
+    dets = jnp.concatenate([out_boxes, out_scores[:, None]], axis=1)
+    return dets, out_labels, out_mask

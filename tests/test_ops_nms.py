@@ -1,0 +1,106 @@
+"""NMS: static pick-loop vs a sequential greedy numpy oracle."""
+import numpy as np
+import jax.numpy as jnp
+
+from hvrnet_tpu.ops import multiclass_nms_static, nms_static
+
+
+def greedy_nms_np(boxes, scores, thr):
+    order = scores.argsort()[::-1]
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    area = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        xs = np.maximum(boxes[i, 0], boxes[:, 0]); xe = np.minimum(boxes[i, 2], boxes[:, 2])
+        ys = np.maximum(boxes[i, 1], boxes[:, 1]); ye = np.minimum(boxes[i, 3], boxes[:, 3])
+        ov = np.maximum(xe - xs + 1, 0) * np.maximum(ye - ys + 1, 0)
+        iou = ov / (area[i] + area - ov)
+        suppressed |= iou > thr
+    return np.asarray(keep)
+
+
+def rand_dets(rng, n):
+    cx = rng.uniform(50, 900, n)
+    cy = rng.uniform(50, 500, n)
+    w = rng.uniform(10, 200, n)
+    h = rng.uniform(10, 200, n)
+    boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+    scores = rng.uniform(0, 1, n)
+    return boxes.astype(np.float32), scores.astype(np.float32)
+
+
+def test_nms_static_matches_greedy_oracle():
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        boxes, scores = rand_dets(rng, 200)
+        ref = greedy_nms_np(boxes, scores, 0.7)
+        idx, mask = nms_static(jnp.asarray(boxes), jnp.asarray(scores), 0.7, 200)
+        got = np.asarray(idx)[np.asarray(mask)]
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_nms_static_truncates_like_reference():
+    rng = np.random.default_rng(4)
+    boxes, scores = rand_dets(rng, 300)
+    ref = greedy_nms_np(boxes, scores, 0.5)[:30]
+    idx, mask = nms_static(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 30)
+    got = np.asarray(idx)[np.asarray(mask)]
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_nms_static_respects_validity_mask():
+    rng = np.random.default_rng(5)
+    boxes, scores = rand_dets(rng, 100)
+    valid = np.zeros(100, bool)
+    valid[:60] = True
+    ref = greedy_nms_np(boxes[:60], scores[:60], 0.6)
+    idx, mask = nms_static(jnp.asarray(boxes), jnp.asarray(scores), 0.6, 100,
+                           valid=jnp.asarray(valid))
+    got = np.asarray(idx)[np.asarray(mask)]
+    np.testing.assert_array_equal(got, ref)
+
+
+def multiclass_nms_np(bboxes, scores, score_thr, iou_thr, max_num):
+    """Oracle mirroring reference bbox_nms.py:6-67 (per-class thr+nms, global cap)."""
+    dets, labels = [], []
+    for c in range(1, scores.shape[1]):
+        inds = scores[:, c] > score_thr
+        if not inds.any():
+            continue
+        b = bboxes[inds]
+        s = scores[inds, c]
+        keep = greedy_nms_np(b, s, iou_thr)
+        for k in keep:
+            dets.append(np.concatenate([b[k], [s[k]]]))
+            labels.append(c - 1)
+    if not dets:
+        return np.zeros((0, 5)), np.zeros((0,), np.int64)
+    dets = np.stack(dets)
+    labels = np.asarray(labels)
+    if len(dets) > max_num:
+        order = dets[:, -1].argsort()[::-1][:max_num]
+        dets, labels = dets[order], labels[order]
+    return dets, labels
+
+
+def test_multiclass_nms_matches_oracle():
+    rng = np.random.default_rng(6)
+    n, c = 120, 6
+    boxes, _ = rand_dets(rng, n)
+    scores = rng.uniform(0, 1, (n, c)).astype(np.float32)
+    scores /= scores.sum(1, keepdims=True)
+    ref_d, ref_l = multiclass_nms_np(boxes, scores, 0.05, 0.5, 40)
+    dets, labels, mask = multiclass_nms_static(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.05, 0.5, 40)
+    m = np.asarray(mask)
+    got_d = np.asarray(dets)[m]
+    got_l = np.asarray(labels)[m]
+    assert got_d.shape[0] == ref_d.shape[0]
+    # order by score descending in both (oracle keeps per-class order then sorts)
+    o1 = np.lexsort((got_l, -got_d[:, -1]))
+    o2 = np.lexsort((ref_l, -ref_d[:, -1]))
+    np.testing.assert_allclose(got_d[o1], ref_d[o2], rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(got_l[o1], ref_l[o2])

@@ -1,0 +1,84 @@
+"""RoIAlign vs an independent per-pixel numpy oracle of the CUDA kernel math."""
+import numpy as np
+import jax.numpy as jnp
+
+from hvrnet_tpu.ops import roi_align
+
+
+def bilinear_np(data, H, W, y, x):
+    if y < -1.0 or y > H or x < -1.0 or x > W:
+        return 0.0
+    y = max(y, 0.0)
+    x = max(x, 0.0)
+    y_low, x_low = int(y), int(x)
+    if y_low >= H - 1:
+        y_high = y_low = H - 1
+        y = float(y_low)
+    else:
+        y_high = y_low + 1
+    if x_low >= W - 1:
+        x_high = x_low = W - 1
+        x = float(x_low)
+    else:
+        x_high = x_low + 1
+    ly, lx = y - y_low, x - x_low
+    hy, hx = 1 - ly, 1 - lx
+    return (hy * hx * data[y_low, x_low] + hy * lx * data[y_low, x_high]
+            + ly * hx * data[y_high, x_low] + ly * lx * data[y_high, x_high])
+
+
+def roi_align_np(feats_nhwc, rois, out_size, scale, sn):
+    B, H, W, C = feats_nhwc.shape
+    R = rois.shape[0]
+    out = np.zeros((R, out_size, out_size, C), np.float32)
+    for r in range(R):
+        b = int(rois[r, 0])
+        x1, y1, x2, y2 = rois[r, 1:]
+        sw, sh = x1 * scale, y1 * scale
+        ew, eh = (x2 + 1) * scale, (y2 + 1) * scale
+        rw = max(ew - sw, 0.0)
+        rh = max(eh - sh, 0.0)
+        bw, bh = rw / out_size, rh / out_size
+        for c in range(C):
+            data = feats_nhwc[b, :, :, c]
+            for ph in range(out_size):
+                for pw in range(out_size):
+                    acc = 0.0
+                    for iy in range(sn):
+                        y = sh + ph * bh + (iy + 0.5) * bh / sn
+                        for ix in range(sn):
+                            x = sw + pw * bw + (ix + 0.5) * bw / sn
+                            acc += bilinear_np(data, H, W, y, x)
+                    out[r, ph, pw, c] = acc / (sn * sn)
+    return out
+
+
+def test_roi_align_matches_cuda_kernel_math():
+    rng = np.random.default_rng(7)
+    B, H, W, C = 2, 24, 32, 3
+    feats = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    rois = np.array([
+        [0, 0.0, 0.0, 111.0, 95.0],
+        [0, 40.5, 30.2, 300.7, 200.1],
+        [1, 100.0, 50.0, 480.0, 350.0],
+        [1, 5.0, 5.0, 6.0, 6.0],          # tiny roi
+        [0, 400.0, 300.0, 511.0, 383.0],  # touches the far edge
+    ], np.float32)
+    got = np.asarray(roi_align(jnp.asarray(feats), jnp.asarray(rois),
+                               out_size=7, spatial_scale=1 / 16.0, sample_num=2))
+    ref = roi_align_np(feats, rois, 7, 1 / 16.0, 2)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_is_differentiable():
+    import jax
+    rng = np.random.default_rng(8)
+    feats = jnp.asarray(rng.normal(size=(1, 16, 16, 4)).astype(np.float32))
+    rois = jnp.asarray([[0, 10.0, 10.0, 150.0, 150.0]], dtype=jnp.float32)
+
+    def loss(f):
+        return roi_align(f, rois, out_size=7, spatial_scale=1 / 16.0).sum()
+
+    g = jax.grad(loss)(feats)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
