@@ -1,0 +1,10 @@
+from .canvas import Canvas, get_canvas, pad_to_canvas, pick_canvas_shape
+from .detector import (BaseEngine, FasterRCNN, FastRCNN, HNLRCNN, HNMBRCNN,
+                       SelsaRCNN)
+from .video_runner import SlidingWindowRunner
+
+__all__ = [
+    "Canvas", "get_canvas", "pad_to_canvas", "pick_canvas_shape",
+    "BaseEngine", "SelsaRCNN", "HNMBRCNN", "HNLRCNN", "FasterRCNN",
+    "FastRCNN", "SlidingWindowRunner",
+]

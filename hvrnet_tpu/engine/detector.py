@@ -1,0 +1,285 @@
+"""Detector engines — orchestration around the flax TwoStageModule.
+
+Each engine corresponds to a reference detector class
+(`/root/reference/mmdet/models/detectors/{two_stage,selsa_rcnn,hnmb_rcnn,
+hnl_rcnn}.py`) but is organized TPU-first: the network is a parameter pytree
++ pure methods, and the engine compiles fixed-shape programs:
+
+  * ``frame_features`` — per-frame work done ONCE per frame: backbone C4 →
+    dilated-C5 shared head → RPN → static-NMS proposals → RoIAlign →
+    fc_new_1 projection.  The reference instead caches raw C4 maps and
+    re-runs shared-head + RPN + RoIAlign over the whole T-frame window for
+    every output frame (`selsa_rcnn.py:56-83`, `tools/test.py:215-235`);
+    per-frame quantities don't depend on the window, so hoisting them is
+    numerically identical and ~T× cheaper.
+  * ``window_detect`` — the only window-dependent compute: the non-local
+    attention head over the cached (T×P, 1024) projections + static
+    multiclass NMS.
+
+Both are jitted per static canvas shape; the host-side video state machine
+lives in ``video_runner.py``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.anchor_heads.rpn_head import rpn_flat_scores_deltas
+from ..models.bbox_heads.bbox_head import get_det_bboxes
+from ..models.builder import build_model_module, build_roi_extractor
+from ..models.registry import DETECTORS
+from ..ops.boxes import delta2bbox
+from ..ops.nms import nms_static
+from ..utils.config import unwrap
+from .canvas import get_canvas
+
+
+def _rpn_proposals(cls_map, reg_map, canvas, pad_shape, img_shape, rpn_cfg,
+                   target_means=(0., 0., 0., 0.), target_stds=(1., 1., 1., 1.)):
+    """Proposal generation on a static canvas with dynamic anchor validity."""
+    scores, deltas = rpn_flat_scores_deltas(cls_map, reg_map)
+    avalid = canvas.anchor_valid(pad_shape)
+    masked_scores = jnp.where(avalid, scores, -1.0)
+    nms_pre = int(rpn_cfg["nms_pre"])
+    k = min(nms_pre, masked_scores.shape[0])
+    top_scores, topk = jax.lax.top_k(masked_scores, k)
+    anchors = canvas.anchors[topk]
+    deltas = deltas[topk]
+    valid = avalid[topk]
+    proposals = delta2bbox(anchors, deltas, target_means, target_stds,
+                           max_shape=img_shape)
+    min_size = float(rpn_cfg.get("min_bbox_size", 0))
+    if min_size > 0:
+        w = proposals[:, 2] - proposals[:, 0] + 1
+        h = proposals[:, 3] - proposals[:, 1] + 1
+        valid = valid & (w >= min_size) & (h >= min_size)
+    nms_post = int(rpn_cfg["nms_post"])
+    keep_idx, keep_mask = nms_static(proposals, top_scores,
+                                     float(rpn_cfg["nms_thr"]), nms_post,
+                                     valid=valid)
+    boxes = proposals[keep_idx] * keep_mask[:, None]
+    out_scores = jnp.where(keep_mask, top_scores[keep_idx], 0.0)
+    return boxes, out_scores, keep_mask
+
+
+class BaseEngine:
+    """Shared plumbing: module construction, param init, frame features."""
+
+    def __init__(self, model_cfg: Dict[str, Any], train_cfg=None,
+                 test_cfg=None, dtype=jnp.float32):
+        model_cfg = unwrap(model_cfg)
+        self.train_cfg = unwrap(train_cfg) if train_cfg else None
+        self.test_cfg = unwrap(test_cfg) if test_cfg else None
+        # test-time bbox_head overrides (selsa_rcnn.py:40-42 / hnmb_rcnn.py:44-48)
+        if self.test_cfg is not None and "bbox_head" in self.test_cfg:
+            bh = dict(model_cfg["bbox_head"])
+            bh["t_dim"] = int(self.test_cfg["bbox_head"]["t_dim"])
+            bh["sampler_num"] = int(self.test_cfg["bbox_head"]["sampler_num"])
+            model_cfg = dict(model_cfg, bbox_head=bh)
+        self.model_cfg = model_cfg
+        self.dtype = dtype
+        self.module = build_model_module(model_cfg, dtype)
+        self.roi_extractor = build_roi_extractor(model_cfg["bbox_roi_extractor"])
+        bh = model_cfg["bbox_head"]
+        self.num_classes = int(bh["num_classes"])
+        self.target_means = tuple(bh.get("target_means", (0., 0., 0., 0.)))
+        self.target_stds = tuple(bh.get("target_stds", (0.1, 0.1, 0.2, 0.2)))
+        rh = model_cfg["rpn_head"]
+        self.rpn_means = tuple(rh.get("target_means", (0., 0., 0., 0.)))
+        self.rpn_stds = tuple(rh.get("target_stds", (1., 1., 1., 1.)))
+        self.anchor_scales = tuple(rh.get("anchor_scales", (8, 16, 32)))
+        self.anchor_ratios = tuple(rh.get("anchor_ratios", (0.5, 1.0, 2.0)))
+        self.anchor_stride = int(rh.get("anchor_strides", [16])[0])
+        self.proposal_num = int(self.test_cfg["rpn"]["nms_post"]) if self.test_cfg else 300
+
+    # ----------------------------------------------------------------- init
+    def init_params(self, rng: jax.Array, canvas_hw=(64, 64)):
+        img = jnp.zeros((1, canvas_hw[0], canvas_hw[1], 3), jnp.float32)
+        return self.module.init(rng, img)
+
+    def _canvas(self, h: int, w: int):
+        return get_canvas(h, w, self.anchor_stride,
+                          self.anchor_scales, self.anchor_ratios)
+
+    # -------------------------------------------------------- frame program
+    @functools.lru_cache(maxsize=8)
+    def _frame_fn(self, canvas_h: int, canvas_w: int):
+        canvas = self._canvas(canvas_h, canvas_w)
+        rpn_cfg = self.test_cfg["rpn"]
+        mod = self.module
+
+        def fn(params, img, img_shape, pad_shape):
+            c4 = mod.apply(params, img, method=mod.extract_feat)
+            c5 = mod.apply(params, c4, method=mod.shared)
+            cls_map, reg_map = mod.apply(params, c4, method=mod.rpn)
+            boxes, scores, mask = _rpn_proposals(
+                cls_map[0], reg_map[0], canvas, pad_shape, img_shape, rpn_cfg,
+                self.rpn_means, self.rpn_stds)
+            rois = jnp.concatenate(
+                [jnp.zeros((boxes.shape[0], 1), boxes.dtype), boxes], axis=1)
+            pooled = self.roi_extractor([c5], rois)
+            fc1 = mod.apply(params, pooled, method=mod.bbox_precompute_fc1)
+            return dict(fc1=fc1, boxes=boxes, scores=scores, mask=mask)
+
+        return jax.jit(fn)
+
+    def frame_features(self, params, img: jnp.ndarray, img_shape, pad_shape):
+        """img: (1, H, W, 3) canvas-padded, normalized; returns cached dict."""
+        fn = self._frame_fn(img.shape[1], img.shape[2])
+        return fn(params, img,
+                  jnp.asarray(img_shape, jnp.float32),
+                  jnp.asarray(pad_shape, jnp.float32))
+
+
+@DETECTORS.register_module
+class SelsaRCNN(BaseEngine):
+    """SELSA video detector (`/root/reference/mmdet/models/detectors/selsa_rcnn.py`)."""
+
+    def __init__(self, model_cfg, train_cfg=None, test_cfg=None, dtype=jnp.float32):
+        super().__init__(model_cfg, train_cfg, test_cfg, dtype)
+        if self.train_cfg is not None:
+            self.key_dim = int(self.train_cfg["rcnn"]["key_dim"])
+        else:
+            self.key_dim = int(self.test_cfg["relation_setup"]["frame_interval"])
+        self.window = (2 * int(self.test_cfg["relation_setup"]["frame_interval"]) + 1
+                       if self.test_cfg else None)
+
+    @functools.lru_cache(maxsize=4)
+    def _window_fn(self, t_dim: int, key_dim: int):
+        mod = self.module
+        rcnn_cfg = self.test_cfg["rcnn"]
+        P = self.proposal_num
+
+        def fn(params, fc1_stack, boxes, masks, img_shape, scale_factor):
+            fc1 = fc1_stack.reshape(t_dim * P, -1)
+            valid = masks.reshape(t_dim * P)
+            cls, reg = mod.apply(params, fc1, key_dim * P, P, valid,
+                                 method=mod.bbox_forward_fc1)
+            return get_det_bboxes(boxes[key_dim], cls, reg, img_shape,
+                                  scale_factor, self.target_means,
+                                  self.target_stds, rescale=True, cfg=rcnn_cfg,
+                                  valid=masks[key_dim])
+
+        return jax.jit(fn)
+
+    def window_detect(self, params, fc1_stack, boxes, masks, img_shape,
+                      scale_factor, key_dim: Optional[int] = None):
+        """fc1_stack: (T, P, D); boxes: (T, P, 4); masks: (T, P).
+
+        Returns (dets (max, 5) in ORIGINAL image coords, labels, valid).
+        """
+        t = fc1_stack.shape[0]
+        fn = self._window_fn(t, self.key_dim if key_dim is None else key_dim)
+        return fn(params, fc1_stack, boxes, masks,
+                  jnp.asarray(img_shape, jnp.float32),
+                  jnp.asarray(scale_factor, jnp.float32))
+
+
+@DETECTORS.register_module
+class HNMBRCNN(BaseEngine):
+    """HVRNet detector (`/root/reference/mmdet/models/detectors/hnmb_rcnn.py`).
+
+    At test time this is the SELSA machine with the HRNMP 4-block head and a
+    63-frame cache; the branch and final predictions both decode through
+    `get_det_bboxes` (`hrnmp_bbox_head.py:1009-1052`) and the runner stores
+    the requested branch (final by default — the one the paper's mAP uses).
+    """
+
+    def __init__(self, model_cfg, train_cfg=None, test_cfg=None, dtype=jnp.float32):
+        super().__init__(model_cfg, train_cfg, test_cfg, dtype)
+        if self.train_cfg is not None:
+            self.key_dim = int(self.train_cfg["rcnn"]["key_dim"])
+        else:
+            self.key_dim = int(self.test_cfg["bbox_head"]["key_dim"])
+        self.window = (2 * int(self.test_cfg["relation_setup"]["frame_interval"]) + 1
+                       if self.test_cfg else None)
+
+    @functools.lru_cache(maxsize=4)
+    def _window_fn(self, t_dim: int, key_dim: int):
+        mod = self.module
+        rcnn_cfg = self.test_cfg["rcnn"]
+        P = self.proposal_num
+
+        def fn(params, fc1_stack, boxes, masks, img_shape, scale_factor):
+            fc1 = fc1_stack.reshape(t_dim * P, -1)
+            valid = masks.reshape(t_dim * P)
+            cls_list, reg_list = mod.apply(params, fc1, key_dim * P, P, valid,
+                                           method=mod.bbox_forward_fc1)
+            outs = []
+            for cls, reg in zip(cls_list, reg_list):
+                outs.append(get_det_bboxes(
+                    boxes[key_dim], cls, reg, img_shape, scale_factor,
+                    self.target_means, self.target_stds, rescale=True,
+                    cfg=rcnn_cfg, valid=masks[key_dim]))
+            return outs   # [(dets, labels, mask) per branch]
+
+        return jax.jit(fn)
+
+    def window_detect(self, params, fc1_stack, boxes, masks, img_shape,
+                      scale_factor, key_dim: Optional[int] = None):
+        t = fc1_stack.shape[0]
+        fn = self._window_fn(t, self.key_dim if key_dim is None else key_dim)
+        return fn(params, fc1_stack, boxes, masks,
+                  jnp.asarray(img_shape, jnp.float32),
+                  jnp.asarray(scale_factor, jnp.float32))
+
+
+@DETECTORS.register_module
+class HNLRCNN(HNMBRCNN):
+    """Intermediate intra+inter-video variant (`hnl_rcnn.py`); shares the
+    HNMB inference machinery."""
+
+
+@DETECTORS.register_module
+class FasterRCNN(BaseEngine):
+    """Plain single-frame Faster R-CNN (zoo parity; BBoxHead head).
+
+    `simple_test` = RPN proposals → RoIAlign → head → multiclass NMS
+    (`two_stage.py:simple_test`).
+    """
+
+    def __init__(self, model_cfg, train_cfg=None, test_cfg=None, dtype=jnp.float32):
+        super().__init__(model_cfg, train_cfg, test_cfg, dtype)
+        self.key_dim = 0
+
+    @functools.lru_cache(maxsize=8)
+    def _simple_test_fn(self, canvas_h: int, canvas_w: int):
+        canvas = self._canvas(canvas_h, canvas_w)
+        rpn_cfg = self.test_cfg["rpn"]
+        rcnn_cfg = self.test_cfg.get("rcnn")
+        mod = self.module
+
+        def fn(params, img, img_shape, pad_shape, scale_factor):
+            c4 = mod.apply(params, img, method=mod.extract_feat)
+            c5 = mod.apply(params, c4, method=mod.shared) \
+                if self.model_cfg.get("shared_head") else c4
+            cls_map, reg_map = mod.apply(params, c4, method=mod.rpn)
+            boxes, scores, mask = _rpn_proposals(
+                cls_map[0], reg_map[0], canvas, pad_shape, img_shape, rpn_cfg,
+                self.rpn_means, self.rpn_stds)
+            rois = jnp.concatenate(
+                [jnp.zeros((boxes.shape[0], 1), boxes.dtype), boxes], axis=1)
+            pooled = self.roi_extractor([c5], rois)
+            P = boxes.shape[0]
+            cls, reg = mod.apply(params, pooled, 0, P, mask,
+                                 method=mod.bbox_forward)
+            return get_det_bboxes(boxes, cls, reg, img_shape, scale_factor,
+                                  self.target_means, self.target_stds,
+                                  rescale=True, cfg=rcnn_cfg, valid=mask)
+
+        return jax.jit(fn)
+
+    def simple_test(self, params, img, img_shape, pad_shape, scale_factor):
+        fn = self._simple_test_fn(img.shape[1], img.shape[2])
+        return fn(params, img, jnp.asarray(img_shape, jnp.float32),
+                  jnp.asarray(pad_shape, jnp.float32),
+                  jnp.asarray(scale_factor, jnp.float32))
+
+
+@DETECTORS.register_module
+class FastRCNN(FasterRCNN):
+    """Proposal-fed variant (zoo parity)."""

@@ -1,0 +1,119 @@
+"""Sliding-window video inference runner.
+
+Host-side re-implementation of the reference's stateful test loops
+(`/root/reference/tools/test.py:143-302` for SELSA T=21,
+`/root/reference/tools/hnl_test.py:309-475` for HVRNet T=63):
+
+  * video start (key_frame_flag==0): fresh ring buffer, front-padded with the
+    first frame to (T+1)/2 entries (test.py:201-213);
+  * interior (==2): push the frame; once T entries are cached, detect the
+    center frame (test.py:215-255);
+  * video end (==1): pad the tail with the last frame and drain the
+    remaining centers (test.py:256-294, ≤ min(seg_len, (T+1)/2) emissions).
+
+The cache holds per-frame (fc1, proposal boxes, masks) rather than raw C4
+maps — per-frame computation (backbone → shared head → RPN → RoIAlign →
+fc_new_1) is window-independent, so it runs exactly once per frame (the
+reference recomputes everything but the backbone for all T frames per output
+frame).  Results are placed by absolute frame id exactly like
+test.py:237-248 so `vid_eval` ordering matches.
+"""
+from __future__ import annotations
+
+from collections import deque
+from typing import Dict, Iterable, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.boxes import bbox2result_np
+
+
+def _dets_to_result(dets, labels, mask, num_classes: int):
+    dets = np.asarray(dets)
+    labels = np.asarray(labels)
+    mask = np.asarray(mask)
+    return bbox2result_np(dets[mask], labels[mask], num_classes)
+
+
+class SlidingWindowRunner:
+    """Runs a SELSA/HVRNet engine over a sequential frame stream."""
+
+    def __init__(self, engine, params, window: Optional[int] = None,
+                 branch: int = -1, progress_hook=None):
+        self.engine = engine
+        self.params = params
+        self.window = window or engine.window
+        self.key_dim = (self.window - 1) // 2
+        self.branch = branch            # which head branch to keep (HVRNet)
+        self.num_classes = engine.num_classes
+        self.progress_hook = progress_hook
+
+    # ------------------------------------------------------------------ run
+    def run(self, frame_stream: Iterable[Dict], num_frames: int) -> List:
+        """frame_stream yields dicts with keys:
+        img (1,H,W,3 canvas-padded normalized), img_shape (2,), pad_shape (2,),
+        scale_factor, key_frame_flag, frame_offset, seg_len, frame_start_id.
+
+        Returns a list of per-frame per-class det lists indexed by absolute
+        frame id − 1 (test.py:248).
+        """
+        T = self.window
+        half = (T + 1) // 2
+        results: List = [None] * num_frames
+        cache = None
+        offsets = None
+        meta = None
+
+        def detect_center():
+            fc1 = jnp.stack([c["fc1"] for c in cache])
+            boxes = jnp.stack([c["boxes"] for c in cache])
+            masks = jnp.stack([c["mask"] for c in cache])
+            m = meta[self.key_dim]
+            out = self.engine.window_detect(self.params, fc1, boxes, masks,
+                                            m["img_shape"], m["scale_factor"])
+            if isinstance(out, list):       # HVRNet: one det set per branch
+                out = out[self.branch]
+            dets, labels, mask = out
+            res = _dets_to_result(dets, labels, mask, self.num_classes)
+            fid = m["frame_start_id"] + offsets[self.key_dim]
+            results[fid - 1] = res
+            if self.progress_hook:
+                self.progress_hook(1)
+
+        for frame in frame_stream:
+            flag = frame["key_frame_flag"]
+            feats = self.engine.frame_features(
+                self.params, frame["img"], frame["img_shape"], frame["pad_shape"])
+            fmeta = dict(img_shape=frame["img_shape"],
+                         scale_factor=frame["scale_factor"],
+                         frame_start_id=frame["frame_start_id"])
+            if flag == 0:      # new video: reset + front-pad
+                cache = deque(maxlen=T)
+                offsets = deque(maxlen=T)
+                meta = deque(maxlen=T)
+                while len(cache) < half:
+                    cache.append(feats)
+                    offsets.append(frame["frame_offset"])
+                    meta.append(fmeta)
+            elif flag == 2:    # interior
+                cache.append(feats)
+                offsets.append(frame["frame_offset"])
+                meta.append(fmeta)
+                if len(cache) == T:
+                    detect_center()
+            elif flag == 1:    # video end: tail-pad and drain
+                while len(cache) < T - 1:
+                    cache.append(feats)
+                    offsets.append(frame["frame_offset"])
+                    meta.append(fmeta)
+                end_counter = 0
+                while end_counter < min(frame["seg_len"], half):
+                    cache.append(feats)
+                    offsets.append(frame["frame_offset"])
+                    meta.append(fmeta)
+                    end_counter += 1
+                    detect_center()
+            else:
+                raise ValueError(f"bad key_frame_flag {flag}")
+        return results
