@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ...ops.boxes import delta2bbox
 from ...ops.nms import multiclass_nms_static
-from ..layers import Linear
+from ..layers import dense
 from ..losses import accuracy, build_loss, weight_reduce_loss
 from ..registry import HEADS
 
@@ -58,11 +58,11 @@ class BBoxHead(nn.Module):
         if self.with_avg_pool and x.ndim == 4:
             x = x.mean(axis=(1, 2))
         x = flatten_roi_feats(x)
-        cls_score = (Linear(self.num_classes, std=0.01, dtype=self.dtype,
-                            name="fc_cls")(x) if self.with_cls else None)
+        cls_score = (dense(self.num_classes, std=0.01, dtype=self.dtype,
+                           name="fc_cls")(x) if self.with_cls else None)
         out_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
-        bbox_pred = (Linear(out_dim, std=0.001, dtype=self.dtype,
-                            name="fc_reg")(x) if self.with_reg else None)
+        bbox_pred = (dense(out_dim, std=0.001, dtype=self.dtype,
+                           name="fc_reg")(x) if self.with_reg else None)
         return cls_score, bbox_pred
 
 

@@ -39,34 +39,19 @@ class FrozenBN(nn.Module):
         return x * scale.astype(self.dtype) + bias.astype(self.dtype)
 
 
-class Conv(nn.Module):
-    """2D conv, NHWC.  `padding` follows torch semantics (symmetric int)."""
-    features: int
-    kernel_size: Tuple[int, int] = (3, 3)
-    strides: Tuple[int, int] = (1, 1)
-    padding: int = 0
-    dilation: Tuple[int, int] = (1, 1)
-    use_bias: bool = True
-    dtype: Dtype = jnp.float32
-    kernel_init: Callable = nn.initializers.he_normal()
-    bias_init: Callable = nn.initializers.zeros
-
-    @nn.compact
-    def __call__(self, x):
-        pad = ((self.padding, self.padding), (self.padding, self.padding))
-        return nn.Conv(
-            features=self.features,
-            kernel_size=self.kernel_size,
-            strides=self.strides,
-            padding=pad,
-            kernel_dilation=self.dilation,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=self.kernel_init,
-            bias_init=self.bias_init,
-            name="conv",
-        )(x)
+def Conv(features: int, kernel_size: Tuple[int, int] = (3, 3),
+         strides: Tuple[int, int] = (1, 1), padding: int = 0,
+         dilation: Tuple[int, int] = (1, 1), use_bias: bool = True,
+         dtype: Dtype = jnp.float32,
+         kernel_init: Callable = nn.initializers.he_normal(),
+         bias_init: Callable = nn.initializers.zeros,
+         name: str = "conv") -> nn.Conv:
+    """2D conv factory, NHWC; `padding` follows torch semantics (symmetric int)."""
+    pad = ((padding, padding), (padding, padding))
+    return nn.Conv(features=features, kernel_size=kernel_size, strides=strides,
+                   padding=pad, kernel_dilation=dilation, use_bias=use_bias,
+                   dtype=dtype, param_dtype=jnp.float32,
+                   kernel_init=kernel_init, bias_init=bias_init, name=name)
 
 
 class ConvBN(nn.Module):

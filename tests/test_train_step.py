@@ -1,0 +1,133 @@
+"""Training-step smoke tests: SELSA and HVRNet losses compile, are finite,
+and update only the intended parameters."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hvrnet_tpu.engine import SelsaRCNN, HNMBRCNN
+from hvrnet_tpu.engine.train import HNMBTrainer, SelsaTrainer
+
+
+def tiny_model_cfg(head_type='SelsaBBoxHead', sampler_num=8, t_dim=3, **head_kw):
+    head = dict(type=head_type, sampler_num=sampler_num, t_dim=t_dim,
+                in_channels=256, num_classes=31, reg_class_agnostic=True,
+                loss_bbox=dict(type='SmoothL1Loss', beta=1.0), **head_kw)
+    return dict(
+        type='SelsaRCNN',
+        backbone=dict(type='ResNet', depth=50, num_stages=3, strides=(1, 2, 2),
+                      dilations=(1, 1, 1), out_indices=(2,), frozen_stages=1,
+                      style='caffe', norm_eval=True),
+        shared_head=dict(type='ResLayer', depth=50, stage=3, stride=1,
+                         dilation=2, style='caffe', norm_eval=True,
+                         external_conv=True),
+        rpn_head=dict(type='RPNHead', in_channels=1024, feat_channels=64,
+                      anchor_scales=[4, 8, 16, 32],
+                      anchor_ratios=[0.5, 1.0, 2.0], anchor_strides=[16]),
+        bbox_roi_extractor=dict(
+            type='SingleRoIExtractor',
+            roi_layer=dict(type='RoIAlign', out_size=7, sample_num=2),
+            out_channels=1024, featmap_strides=[16],
+            feat_from_shared_head=True),
+        bbox_head=head,
+    )
+
+
+def tiny_train_cfg(two_stage_sampler=True, num=16, ohem_num=8):
+    sampler1 = dict(type='RandomSampler', num=num, pos_fraction=0.25,
+                    neg_pos_ub=-1, add_gt_as_proposals=True)
+    if two_stage_sampler:
+        sampler = [sampler1, dict(type='OHEMHNLSampler', num=ohem_num,
+                                  pos_fraction=0.25, neg_pos_ub=-1)]
+    else:
+        sampler = sampler1
+    return dict(
+        rpn=dict(
+            assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.7,
+                          neg_iou_thr=0.3, min_pos_iou=0.3, ignore_iof_thr=-1),
+            sampler=dict(type='RandomSampler', num=32, pos_fraction=0.5,
+                         neg_pos_ub=-1, add_gt_as_proposals=False),
+            allowed_border=0, pos_weight=-1, debug=False),
+        rpn_proposal=dict(nms_across_levels=False, nms_pre=100, nms_post=num,
+                          max_num=num, nms_thr=0.7, min_bbox_size=0),
+        rcnn=dict(
+            assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.5,
+                          neg_iou_thr=0.5, min_pos_iou=0.5, ignore_iof_thr=-1),
+            sampler=sampler, key_dim=0, pos_weight=-1, debug=False))
+
+
+def make_sample(rng, frames, h=64, w=96, gmax=4):
+    imgs = rng.normal(size=(frames, h, w, 3)).astype(np.float32)
+    gt = np.zeros((frames, gmax, 4), np.float32)
+    gm = np.zeros((frames, gmax), bool)
+    gl = np.zeros((frames, gmax), np.int64)
+    for f in range(frames):
+        for g in range(2):
+            x1, y1 = rng.uniform(0, w / 2), rng.uniform(0, h / 2)
+            gt[f, g] = [x1, y1, x1 + rng.uniform(10, w / 2),
+                        y1 + rng.uniform(10, h / 2)]
+            gm[f, g] = True
+            gl[f, g] = rng.integers(1, 31)
+    return dict(imgs=imgs[None], gt_bboxes=gt[None], gt_labels=gl[None],
+                gt_mask=gm[None],
+                img_shape=np.tile([h - 4.0, w - 2.0], (1, frames, 1)).astype(np.float32),
+                pad_shape=np.tile([float(h), float(w)], (1, frames, 1)).astype(np.float32))
+
+
+def test_selsa_train_step_runs_and_updates():
+    model_cfg = tiny_model_cfg(sampler_num=8, t_dim=3)
+    train_cfg = tiny_train_cfg(two_stage_sampler=True)
+    eng = SelsaRCNN(model_cfg, train_cfg, None)
+    params = eng.init_params(jax.random.PRNGKey(0))
+    trainer = SelsaTrainer(eng, dict(optimizer=dict(lr=1e-3, momentum=0.9,
+                                                    weight_decay=1e-4)),
+                           mesh=None, steps_per_epoch=10)
+    state = trainer.create_state(params)
+    step = trainer.make_train_step(64, 96)
+    rng = np.random.default_rng(0)
+    batch = make_sample(rng, frames=3)
+    # snapshot before the (donating) step deletes the input buffers
+    p_before = np.asarray(params["params"]["bbox_head"]["fc_cls"]["kernel"])
+    bn_b = np.asarray(params["params"]["backbone"]["stem"]["bn"]["scale"])
+    state2, logs = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["loss"]))
+    for k in ("loss_rpn_cls", "loss_rpn_bbox", "loss_cls", "loss_bbox"):
+        assert np.isfinite(float(logs[k])), k
+
+    # head fc params must change; frozen BN must not
+    p_after = state2.params["params"]["bbox_head"]["fc_cls"]["kernel"]
+    assert not np.allclose(p_before, p_after)
+    bn_a = state2.params["params"]["backbone"]["stem"]["bn"]["scale"]
+    np.testing.assert_array_equal(bn_b, bn_a)
+
+
+def test_hnmb_train_step_runs_and_freezes_backbone():
+    model_cfg = tiny_model_cfg(head_type='HRNMPBBoxHead', sampler_num=8,
+                               t_dim=9, imgs_per_video=3)
+    model_cfg["type"] = 'HNMBRCNN'
+    train_cfg = tiny_train_cfg(two_stage_sampler=False, num=8)
+    eng = HNMBRCNN(model_cfg, train_cfg, None)
+    params = eng.init_params(jax.random.PRNGKey(0))
+    trainer = HNMBTrainer(eng, dict(optimizer=dict(lr=1e-3)), mesh=None,
+                          steps_per_epoch=10)
+    state = trainer.create_state(params)
+    step = trainer.make_train_step(64, 96)
+    rng = np.random.default_rng(1)
+    batch = make_sample(rng, frames=15)  # 5 videos × 3 frames (3 same-class + 2 extra)
+    b0 = np.asarray(params["params"]["backbone"]["layer3"]["block0"]["conv1"]["conv"]["kernel"])
+    s0 = np.asarray(params["params"]["shared_head"]["new_layer_1"]["conv"]["kernel"])
+    h0 = np.asarray(params["params"]["bbox_head"]["fc_cls_2"]["kernel"])
+    state2, logs = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(logs["loss"]))
+    assert np.isfinite(float(logs["loss_trip"]))
+    for k in ("loss_cls_1", "loss_cls_2", "loss_bbox_1", "loss_bbox_2"):
+        assert np.isfinite(float(logs[k])), k
+
+    # backbone frozen under HVRNet training (no_grad in the reference)
+    b1 = state2.params["params"]["backbone"]["layer3"]["block0"]["conv1"]["conv"]["kernel"]
+    np.testing.assert_array_equal(b0, b1)
+    # shared head and relation head DO update
+    s1 = state2.params["params"]["shared_head"]["new_layer_1"]["conv"]["kernel"]
+    assert not np.allclose(s0, s1)
+    h1 = state2.params["params"]["bbox_head"]["fc_cls_2"]["kernel"]
+    assert not np.allclose(h0, h1)
