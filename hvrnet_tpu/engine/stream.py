@@ -1,0 +1,103 @@
+"""Host → device frame streams and train-batch assembly.
+
+Bridges the numpy datasets to the static-canvas jitted programs:
+  * ``test_frame_stream`` walks one rank's video-sharded index list
+    (VIDSeqDataset.get_indices) and emits canvas-padded frames for the
+    SlidingWindowRunner;
+  * ``collate_train_selsa`` / ``collate_train_hnmb`` pack pipelined frame
+    lists into the fixed-shape training batch (images on the canvas, GT
+    padded to ``gt_max`` with masks) — the analogue of the reference's
+    collate with ``samples_per_gpu=selsa_imgs``
+    (`/root/reference/mmdet/datasets/loader/build_loader.py:19-56`).
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Sequence
+
+import numpy as np
+
+from .canvas import pad_to_canvas, pick_canvas_shape
+
+DEFAULT_CANVAS = dict(max_long=1008, max_short=608)
+
+
+def _canvas_for(pad_shape, max_long=1008, max_short=608):
+    h, w = int(pad_shape[0]), int(pad_shape[1])
+    return pick_canvas_shape(h, w, max_long, max_short)
+
+
+def test_frame_stream(dataset, rank: int = 0, max_long: int = 1008,
+                      max_short: int = 608) -> Iterator[Dict]:
+    """Yield runner-format frames for one rank's whole-video shard."""
+    import jax.numpy as jnp
+    indices = dataset.indices_list[rank]
+    for idx in indices:
+        item = dataset[idx]
+        meta = item["img_meta"]
+        img = item["img"].astype(np.float32)
+        ch, cw = _canvas_for(meta["pad_shape"], max_long, max_short)
+        img_c = pad_to_canvas(img, (ch, cw))
+        yield dict(
+            img=jnp.asarray(img_c[None]),
+            img_shape=np.asarray(meta["img_shape"][:2], np.float32),
+            pad_shape=np.asarray(meta["pad_shape"][:2], np.float32),
+            scale_factor=np.asarray(meta["scale_factor"], np.float32),
+            key_frame_flag=int(meta["key_frame_flag"]),
+            frame_offset=int(meta["frame_offset"]),
+            seg_len=int(meta["seg_len"]),
+            frame_start_id=int(meta["frame_start_id"]))
+
+
+def collate_train(frames: Sequence[Dict], canvas_hw, gt_max: int = 32) -> Dict:
+    """Pack a list of pipelined frame dicts into one fixed-shape sample."""
+    F = len(frames)
+    ch, cw = canvas_hw
+    imgs = np.zeros((F, ch, cw, 3), np.float32)
+    gt_bboxes = np.zeros((F, gt_max, 4), np.float32)
+    gt_labels = np.zeros((F, gt_max), np.int64)
+    gt_mask = np.zeros((F, gt_max), bool)
+    img_shape = np.zeros((F, 2), np.float32)
+    pad_shape = np.zeros((F, 2), np.float32)
+    for i, fr in enumerate(frames):
+        img = fr["img"].astype(np.float32)
+        imgs[i] = pad_to_canvas(img, (ch, cw))
+        meta = fr["img_meta"]
+        img_shape[i] = meta["img_shape"][:2]
+        pad_shape[i] = meta["pad_shape"][:2]
+        b = fr.get("gt_bboxes", np.zeros((0, 4), np.float32))
+        l = fr.get("gt_labels", np.zeros((0,), np.int64))
+        n = min(len(b), gt_max)
+        gt_bboxes[i, :n] = b[:n]
+        gt_labels[i, :n] = l[:n]
+        gt_mask[i, :n] = True
+    return dict(imgs=imgs, gt_bboxes=gt_bboxes, gt_labels=gt_labels,
+                gt_mask=gt_mask, img_shape=img_shape, pad_shape=pad_shape)
+
+
+def train_batch_iterator(dataset, canvas_hw=(608, 1008), gt_max: int = 32,
+                         batch_size: int = 1, shuffle: bool = True,
+                         seed: int = 0) -> Iterator[Dict]:
+    """Yield stacked train batches (leading axis = batch_size samples).
+
+    Each dataset item is a flat list of pipelined frames (3 per video ×
+    sampled videos); frames whose canvas orientation disagrees with
+    ``canvas_hw`` are padded into it anyway when they fit, else transposed
+    buckets should be handled by separate iterators.
+    """
+    order = np.arange(len(dataset))
+    rng = np.random.default_rng(seed)
+    while True:
+        if shuffle:
+            rng.shuffle(order)
+        buf = []
+        for idx in order:
+            frames = dataset[int(idx)]
+            try:
+                sample = collate_train(frames, canvas_hw, gt_max)
+            except AssertionError:
+                continue   # frame larger than canvas (portrait in landscape run)
+            buf.append(sample)
+            if len(buf) == batch_size:
+                batch = {k: np.stack([s[k] for s in buf]) for k in buf[0]}
+                yield batch
+                buf = []

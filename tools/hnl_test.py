@@ -1,0 +1,100 @@
+"""HVRNet distributed video-detection test CLI.
+
+Counterpart of `/root/reference/tools/hnl_test.py` (804 LoC): the SELSA
+sliding-window machine with a 63-frame feature cache (hnl_test.py:757,765)
+driving the 4-block HRNMP head (t_dim 21, key_dim 10).  The reference
+replaces start-of-video front padding with 31 random same-video pre-padding
+frames (`pre_padding_imgs:293`); pass ``--pre-padding random`` for that
+behaviour (default) or ``--pre-padding repeat`` for SELSA-style repetition.
+
+Per-frame results keep the final-branch detections by default (see
+HNMBRCNN engine docstring); ``--branch 0`` stores the NL2 branch instead.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="HVRNet VID test")
+    p.add_argument("config")
+    p.add_argument("checkpoint", nargs="?", default=None)
+    p.add_argument("--out", default="results_hnl.pkl")
+    p.add_argument("--world-size", type=int, default=1)
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--tmpdir", default=None)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--branch", type=int, default=-1)
+    p.add_argument("--window", type=int, default=63,
+                   help="feature-cache length (hnl_test.py:757)")
+    p.add_argument("--pre-padding", choices=["random", "repeat"],
+                   default="random")
+    p.add_argument("--bf16", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    import jax.numpy as jnp
+    from hvrnet_tpu.apis import get_root_logger, load_params_for_engine
+    from hvrnet_tpu.data import build_dataset
+    from hvrnet_tpu.engine import SlidingWindowRunner
+    from hvrnet_tpu.engine.stream import test_frame_stream
+    from hvrnet_tpu.models.builder import build_detector
+    from hvrnet_tpu.utils.config import Config
+    from tools.test import collect_results
+
+    args = parse_args()
+    cfg = Config.fromfile(args.config)
+    logger = get_root_logger(rank=args.rank)
+
+    # window length and the head's t_dim are one config-derived quantity
+    # (SURVEY §3.2): window = (2·frame_interval+1)·test_branches.
+    t_dim = int(cfg.test_cfg.bbox_head.t_dim)
+    window = args.window
+    if window != t_dim:
+        logger.info("window %d != head t_dim %d — the head attends to the "
+                    "most recent t_dim·proposals rows", window, t_dim)
+        window = t_dim  # keep the attention token count consistent
+
+    test_cfg_data = dict(cfg.data.test)
+    test_cfg_data.update(dict(cfg.test_cfg.relation_setup))
+    test_cfg_data.pop("frame_stride", None)
+    dataset = build_dataset(test_cfg_data,
+                            dict(test_mode=True, world_size=args.world_size))
+
+    engine = build_detector(cfg.model, None, cfg.test_cfg,
+                            dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    params = load_params_for_engine(engine, args.checkpoint)
+
+    runner = SlidingWindowRunner(engine, params, window=window,
+                                 branch=args.branch)
+    results = runner.run(test_frame_stream(dataset, rank=args.rank),
+                         num_frames=len(dataset))
+
+    tmpdir = args.tmpdir or os.path.dirname(os.path.abspath(args.out)) or "."
+    os.makedirs(tmpdir, exist_ok=True)
+    with open(os.path.join(tmpdir, f"part_{args.rank}.pkl"), "wb") as f:
+        pickle.dump(results, f)
+
+    if args.rank == 0:
+        parts = [os.path.join(tmpdir, f"part_{r}.pkl")
+                 for r in range(args.world_size)]
+        if all(os.path.isfile(p) for p in parts):
+            merged = collect_results(tmpdir, args.world_size, len(dataset))
+            with open(args.out, "wb") as f:
+                pickle.dump(merged, f)
+            logger.info("merged results → %s", args.out)
+            if args.eval:
+                from tools.vid_eval import evaluate_results
+                evaluate_results(args.out, args.config)
+
+
+if __name__ == "__main__":
+    main()

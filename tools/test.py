@@ -1,0 +1,106 @@
+"""SELSA distributed video-detection test CLI.
+
+Counterpart of `/root/reference/tools/test.py` (803 LoC): sliding-window
+inference with a 21-frame cache, whole-video sharding across ranks, results
+placed by absolute frame id and merged from per-rank part files
+(collect_selsa_results_cpu:546-589 → part pickles here).  Window bookkeeping
+lives in `hvrnet_tpu.engine.video_runner`; this file is argument parsing +
+result collection.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="SELSA VID test")
+    p.add_argument("config")
+    p.add_argument("checkpoint", nargs="?", default=None)
+    p.add_argument("--out", default="results.pkl")
+    p.add_argument("--world-size", type=int, default=1,
+                   help="number of video shards (ranks)")
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--tmpdir", default=None,
+                   help="directory for per-rank part files")
+    p.add_argument("--eval", action="store_true", help="run vid mAP at the end")
+    p.add_argument("--branch", type=int, default=-1,
+                   help="which head branch to keep (HVRNet)")
+    p.add_argument("--window", type=int, default=None,
+                   help="override sliding-window length")
+    p.add_argument("--bf16", action="store_true")
+    return p.parse_args()
+
+
+def collect_results(tmpdir: str, world_size: int, total: int):
+    """Merge per-rank part pickles by absolute frame id (test.py:546-589)."""
+    merged = [None] * total
+    for r in range(world_size):
+        with open(os.path.join(tmpdir, f"part_{r}.pkl"), "rb") as f:
+            part = pickle.load(f)
+        for i, res in enumerate(part):
+            if res is not None:
+                merged[i] = res
+    return merged
+
+
+def main():
+    import jax.numpy as jnp
+    from hvrnet_tpu.apis import get_root_logger, load_params_for_engine
+    from hvrnet_tpu.data import build_dataset
+    from hvrnet_tpu.engine import SlidingWindowRunner
+    from hvrnet_tpu.engine.stream import test_frame_stream
+    from hvrnet_tpu.models.builder import build_detector
+    from hvrnet_tpu.utils.config import Config
+
+    args = parse_args()
+    cfg = Config.fromfile(args.config)
+    logger = get_root_logger(rank=args.rank)
+
+    test_cfg_data = dict(cfg.data.test)
+    test_cfg_data.update(dict(cfg.test_cfg.relation_setup))
+    test_cfg_data.pop("frame_stride", None)
+    dataset = build_dataset(test_cfg_data,
+                            dict(test_mode=True, world_size=args.world_size))
+
+    engine = build_detector(cfg.model, None, cfg.test_cfg,
+                            dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    params = load_params_for_engine(engine, args.checkpoint)
+
+    done = [0]
+
+    def progress(k):
+        done[0] += k
+        if done[0] % 100 == 0:
+            logger.info("rank %d: %d frames done", args.rank, done[0])
+
+    runner = SlidingWindowRunner(engine, params, window=args.window,
+                                 branch=args.branch, progress_hook=progress)
+    results = runner.run(test_frame_stream(dataset, rank=args.rank),
+                         num_frames=len(dataset))
+
+    tmpdir = args.tmpdir or os.path.dirname(os.path.abspath(args.out)) or "."
+    os.makedirs(tmpdir, exist_ok=True)
+    with open(os.path.join(tmpdir, f"part_{args.rank}.pkl"), "wb") as f:
+        pickle.dump(results, f)
+    logger.info("rank %d wrote part file", args.rank)
+
+    if args.rank == 0:
+        parts = [os.path.join(tmpdir, f"part_{r}.pkl")
+                 for r in range(args.world_size)]
+        if all(os.path.isfile(p) for p in parts):
+            merged = collect_results(tmpdir, args.world_size, len(dataset))
+            with open(args.out, "wb") as f:
+                pickle.dump(merged, f)
+            logger.info("merged results → %s", args.out)
+            if args.eval:
+                from tools.vid_eval import evaluate_results
+                evaluate_results(args.out, args.config)
+
+
+if __name__ == "__main__":
+    main()

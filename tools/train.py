@@ -1,0 +1,73 @@
+"""Training CLI (counterpart of `/root/reference/tools/train.py`).
+
+Builds the dataset(s), detector engine and trainer from the config, sets up
+the device mesh, and runs the epoch loop with checkpointing/logging.  The
+reference's `--launcher`/NCCL flags are replaced by the JAX SPMD model: all
+local devices form a 1-D data mesh automatically; multi-host runs call
+`jax.distributed.initialize` via `--coordinator/--num-processes/--process-id`.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a video detector")
+    p.add_argument("config")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--load-from", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--total-epochs", type=int, default=None)
+    p.add_argument("--max-steps-per-epoch", type=int, default=None)
+    p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--autoscale-lr", action="store_true",
+                   help="scale lr linearly with device count (tools/train.py:63-65)")
+    p.add_argument("--coordinator", default=None)
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--bf16", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from hvrnet_tpu.apis import set_random_seed, train_detector
+    from hvrnet_tpu.data import build_dataset
+    from hvrnet_tpu.models.builder import build_detector
+    from hvrnet_tpu.parallel.mesh import init_distributed, make_mesh
+    from hvrnet_tpu.utils.config import Config
+
+    args = parse_args()
+    cfg = Config.fromfile(args.config)
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
+    mesh = make_mesh(args.n_devices)
+    n_dev = mesh.devices.size
+    if args.autoscale_lr:
+        cfg.optimizer["lr"] = cfg.optimizer["lr"] * n_dev / 4.0
+
+    if args.seed is not None:
+        set_random_seed(args.seed)
+    work_dir = args.work_dir or cfg.get("work_dir", "work_dir")
+
+    train_data_cfg = cfg.data.train
+    dataset = build_dataset(train_data_cfg)
+    engine = build_detector(cfg.model, cfg.train_cfg, None,
+                            dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+
+    train_detector(
+        engine, dataset, cfg.as_dict(), mesh=mesh, work_dir=work_dir,
+        total_epochs=args.total_epochs or cfg.get("total_epochs"),
+        resume_from=args.resume_from or cfg.get("resume_from"),
+        load_from=args.load_from or cfg.get("load_from"),
+        max_steps_per_epoch=args.max_steps_per_epoch,
+        seed=args.seed or 0)
+
+
+if __name__ == "__main__":
+    main()
