@@ -1,0 +1,169 @@
+"""Single-stage detector engines (reference `mmdet/models/detectors/
+single_stage.py`, `retinanet.py`, `fcos.py`, `fovea.py`,
+`reppoints_detector.py`, `rpn.py`).
+
+Zoo-parity engines: backbone (+FPN) → dense head → per-level static top-k +
+decode + multiclass NMS, all fixed-shape.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..models.builder import build_model_module
+from ..models.registry import BACKBONES, DETECTORS, HEADS, NECKS
+from ..models.two_stage import build_submodule
+from ..ops.anchors import AnchorGenerator
+from ..ops.boxes import delta2bbox
+from ..ops.nms import multiclass_nms_static
+from ..utils.config import unwrap
+import numpy as np
+
+
+class SingleStageModule(nn.Module):
+    backbone: Dict[str, Any]
+    bbox_head: Dict[str, Any]
+    neck: Optional[Dict[str, Any]] = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone_m = build_submodule(self.backbone, BACKBONES, self.dtype,
+                                          "backbone")
+        if self.neck is not None:
+            self.neck_m = build_submodule(self.neck, NECKS, self.dtype, "neck")
+        self.bbox_head_m = build_submodule(self.bbox_head, HEADS, self.dtype,
+                                           "bbox_head")
+
+    def extract_feat(self, img):
+        feats = self.backbone_m(img.astype(self.dtype))
+        if self.neck is not None:
+            feats = self.neck_m(feats)
+        return feats
+
+    def __call__(self, img):
+        feats = self.extract_feat(img)
+        return self.bbox_head_m(feats)
+
+
+class SingleStageEngine:
+    def __init__(self, model_cfg, train_cfg=None, test_cfg=None,
+                 dtype=jnp.float32):
+        model_cfg = unwrap(model_cfg)
+        self.model_cfg = model_cfg
+        self.train_cfg = unwrap(train_cfg) if train_cfg else None
+        self.test_cfg = unwrap(test_cfg) if test_cfg else None
+        self.dtype = dtype
+        self.module = SingleStageModule(
+            backbone=model_cfg["backbone"],
+            bbox_head=model_cfg["bbox_head"],
+            neck=model_cfg.get("neck"),
+            dtype=dtype)
+        bh = model_cfg["bbox_head"]
+        self.num_classes = int(bh.get("num_classes", 81))
+        self.target_means = tuple(bh.get("target_means", (0., 0., 0., 0.)))
+        self.target_stds = tuple(bh.get("target_stds", (1., 1., 1., 1.)))
+
+    def init_params(self, rng, canvas_hw=(128, 128)):
+        img = jnp.zeros((1, canvas_hw[0], canvas_hw[1], 3), jnp.float32)
+        return self.module.init(rng, img)
+
+    def _level_anchors(self, head_cfg, feat_hw, stride):
+        ratios = tuple(head_cfg.get("anchor_ratios", (0.5, 1.0, 2.0)))
+        octave = int(head_cfg.get("octave_base_scale", 4))
+        spo = int(head_cfg.get("scales_per_octave", 3))
+        scales = tuple(octave * 2 ** (i / spo) for i in range(spo))
+        gen = AnchorGenerator(stride, scales, ratios)
+        return jnp.asarray(gen.grid_anchors(feat_hw, stride))
+
+    @functools.lru_cache(maxsize=8)
+    def _simple_test_fn(self, canvas_h: int, canvas_w: int):
+        mod = self.module
+        cfg = self.test_cfg or dict(score_thr=0.05,
+                                    nms=dict(type="nms", iou_thr=0.5),
+                                    max_per_img=100, nms_pre=1000)
+        head_cfg = self.model_cfg["bbox_head"]
+        strides = tuple(head_cfg.get("anchor_strides",
+                                     (8, 16, 32, 64, 128)))
+
+        def fn(params, img, img_shape, scale_factor):
+            cls_maps, reg_maps = mod.apply(params, img)
+            all_boxes, all_scores = [], []
+            fg = self.num_classes - 1
+            for lvl, (cm, rm) in enumerate(zip(cls_maps, reg_maps)):
+                feat_hw = cm.shape[1:3]
+                anchors = self._level_anchors_cached(head_cfg_key=None,
+                                                     feat_hw=feat_hw,
+                                                     stride=strides[lvl])
+                scores = jax.nn.sigmoid(
+                    cm[0].reshape(-1, fg).astype(jnp.float32))
+                deltas = rm[0].reshape(-1, 4).astype(jnp.float32)
+                nms_pre = int(cfg.get("nms_pre", 1000))
+                if scores.shape[0] > nms_pre:
+                    top, idx = jax.lax.top_k(scores.max(axis=1), nms_pre)
+                    scores = scores[idx]
+                    deltas = deltas[idx]
+                    anchors = anchors[idx]
+                boxes = delta2bbox(anchors, deltas, self.target_means,
+                                   self.target_stds, max_shape=img_shape)
+                all_boxes.append(boxes)
+                all_scores.append(scores)
+            boxes = jnp.concatenate(all_boxes, axis=0) / jnp.asarray(
+                scale_factor, jnp.float32)[:4].mean()
+            scores = jnp.concatenate(all_scores, axis=0)
+            # sigmoid heads have no bg column: prepend zeros (anchor_head.py:323-326)
+            scores = jnp.concatenate(
+                [jnp.zeros((scores.shape[0], 1), scores.dtype), scores], axis=1)
+            return multiclass_nms_static(
+                boxes, scores, float(cfg["score_thr"]),
+                float(cfg["nms"]["iou_thr"]), int(cfg["max_per_img"]))
+
+        return jax.jit(fn)
+
+    def _level_anchors_cached(self, head_cfg_key, feat_hw, stride):
+        key = (feat_hw, stride)
+        cache = getattr(self, "_anchor_cache", None)
+        if cache is None:
+            cache = self._anchor_cache = {}
+        if key not in cache:
+            cache[key] = self._level_anchors(self.model_cfg["bbox_head"],
+                                             feat_hw, stride)
+        return cache[key]
+
+    def simple_test(self, params, img, img_shape, scale_factor):
+        fn = self._simple_test_fn(img.shape[1], img.shape[2])
+        return fn(params, img, jnp.asarray(img_shape, jnp.float32),
+                  jnp.asarray(scale_factor, jnp.float32))
+
+
+@DETECTORS.register_module
+class RetinaNet(SingleStageEngine):
+    pass
+
+
+@DETECTORS.register_module
+class SingleStageDetector(SingleStageEngine):
+    pass
+
+
+@DETECTORS.register_module
+class FCOS(SingleStageEngine):
+    pass
+
+
+@DETECTORS.register_module
+class FOVEA(SingleStageEngine):
+    pass
+
+
+@DETECTORS.register_module
+class RepPointsDetector(SingleStageEngine):
+    pass
+
+
+@DETECTORS.register_module
+class RPN(SingleStageEngine):
+    """Proposal-only detector (reference detectors/rpn.py)."""

@@ -10,6 +10,14 @@ from .bbox_heads.selsa_bbox_head import SelsaAttention, SelsaBBoxHead
 from .bbox_heads.hrnmp_bbox_head import HRNMPBBoxHead, triplet_nonlocal_loss
 from .roi_extractor import SingleRoIExtractor
 from .two_stage import TwoStageModule
+from .necks.fpn import BFP, FPN
+from .bbox_heads.convfc_bbox_head import (ConvFCBBoxHead,
+                                          DoubleConvFCBBoxHead,
+                                          SharedFCBBoxHead)
+from .anchor_heads.dense_heads import (FCOSHead, FoveaHead,
+                                       FreeAnchorRetinaHead, GARetinaHead,
+                                       RetinaHead, SSDHead)
+from .backbones.resnext import ResNeXt, SSDVGG
 from .builder import (build_detector, build_model_module, build_roi_extractor)
 
 __all__ = [
@@ -19,4 +27,6 @@ __all__ = [
     "triplet_nonlocal_loss", "bbox_head_loss", "get_det_bboxes",
     "flatten_roi_feats", "SingleRoIExtractor", "TwoStageModule",
     "build_detector", "build_model_module", "build_roi_extractor",
+    "FPN", "BFP", "ConvFCBBoxHead", "SharedFCBBoxHead", "DoubleConvFCBBoxHead",
+    "RetinaHead", "SSDHead", "FCOSHead", "FoveaHead", "ResNeXt", "SSDVGG",
 ]
