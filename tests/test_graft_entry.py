@@ -1,0 +1,24 @@
+"""Driver entry points stay green: single-chip entry + 8-device CPU-mesh
+training dryrun (the same programs the driver compile-checks)."""
+import sys
+import os
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __graft_entry__ as ge  # noqa: E402
+
+
+def test_entry_compiles_and_runs():
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    dets, labels, mask = out
+    assert dets.shape[1] == 5
+    assert np.isfinite(np.asarray(dets)).all()
+
+
+def test_dryrun_multichip_8_devices():
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    ge.dryrun_multichip(8)
