@@ -18,6 +18,11 @@ from .anchor_heads.dense_heads import (FCOSHead, FoveaHead,
                                        FreeAnchorRetinaHead, GARetinaHead,
                                        RetinaHead, SSDHead)
 from .backbones.resnext import ResNeXt, SSDVGG
+from .backbones.hrnet import HRNet
+from .backbones.res2net import Res2Layer, Res2NetV1b, ResXLayer
+from .necks.hrfpn import HRFPN
+from . import mask_heads  # registers FCN/HTC/MaskIoU/Grid/Semantic heads
+from . import plugins  # NonLocal2D / ContextBlock / GeneralizedAttention
 from .builder import (build_detector, build_model_module, build_roi_extractor)
 
 __all__ = [
@@ -29,4 +34,5 @@ __all__ = [
     "build_detector", "build_model_module", "build_roi_extractor",
     "FPN", "BFP", "ConvFCBBoxHead", "SharedFCBBoxHead", "DoubleConvFCBBoxHead",
     "RetinaHead", "SSDHead", "FCOSHead", "FoveaHead", "ResNeXt", "SSDVGG",
+    "HRNet", "Res2NetV1b", "Res2Layer", "ResXLayer", "HRFPN",
 ]
