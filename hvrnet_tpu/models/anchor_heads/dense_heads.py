@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -176,3 +177,117 @@ class FCOSHead(nn.Module):
 class FoveaHead(FCOSHead):
     """fovea_head.py parity: same tower topology (fovea target assignment is
     a training-path variant)."""
+
+
+@HEADS.register_module
+class RepPointsHead(nn.Module):
+    """reppoints_head.py (596 LoC): point-set representation — cls tower +
+    two-stage points prediction (init + refine via deformable conv over the
+    predicted offsets)."""
+    num_classes: int = 81
+    in_channels: int = 256
+    feat_channels: int = 256
+    point_feat_channels: int = 256
+    stacked_convs: int = 3
+    num_points: int = 9
+    point_strides: Sequence[int] = (8, 16, 32, 64, 128)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        from ...ops.deform import deform_conv2d
+        init = normal_init(0.01)
+        k = int(np.sqrt(self.num_points))
+        cls_convs = [Conv(self.feat_channels, (3, 3), padding=1,
+                          dtype=self.dtype, kernel_init=init,
+                          name=f"cls_conv{i}")
+                     for i in range(self.stacked_convs)]
+        pts_convs = [Conv(self.feat_channels, (3, 3), padding=1,
+                          dtype=self.dtype, kernel_init=init,
+                          name=f"pts_conv{i}")
+                     for i in range(self.stacked_convs)]
+        pts_init_conv = Conv(self.point_feat_channels, (3, 3), padding=1,
+                             dtype=self.dtype, kernel_init=init,
+                             name="pts_init_conv")
+        pts_init_out = Conv(2 * self.num_points, (1, 1), dtype=self.dtype,
+                            kernel_init=init, name="pts_init_out")
+        cls_dcn_w = self.param("cls_dcn_kernel", init,
+                               (k, k, self.feat_channels,
+                                self.point_feat_channels), jnp.float32)
+        cls_out = Conv(self.num_classes - 1, (1, 1), dtype=self.dtype,
+                       kernel_init=init, bias_init=_bias_prior(),
+                       name="cls_out")
+        pts_refine_w = self.param("pts_refine_kernel", init,
+                                  (k, k, self.feat_channels,
+                                   self.point_feat_channels), jnp.float32)
+        pts_refine_out = Conv(2 * self.num_points, (1, 1), dtype=self.dtype,
+                              kernel_init=init, name="pts_refine_out")
+
+        cls_outs, init_outs, refine_outs = [], [], []
+        for feat in feats:
+            c = p = feat
+            for conv in cls_convs:
+                c = nn.relu(conv(c))
+            for conv in pts_convs:
+                p = nn.relu(conv(p))
+            pts_init = pts_init_out(nn.relu(pts_init_conv(p)))
+            # offsets for the deformable refine/cls convs come from the
+            # init-stage points (gradient-detached like the reference)
+            off = jax.lax.stop_gradient(pts_init)
+            c_feat = nn.relu(deform_conv2d(c, off, cls_dcn_w,
+                                           kernel_size=k, padding=k // 2))
+            p_feat = nn.relu(deform_conv2d(p, off, pts_refine_w,
+                                           kernel_size=k, padding=k // 2))
+            cls_outs.append(cls_out(c_feat))
+            init_outs.append(pts_init)
+            refine_outs.append(pts_refine_out(p_feat) + off)
+        return tuple(cls_outs), tuple(init_outs), tuple(refine_outs)
+
+
+@HEADS.register_module
+class GuidedAnchorHead(nn.Module):
+    """guided_anchor_head.py (621 LoC): anchor location + shape branches and
+    a feature-adaption deformable conv; the GA-RPN/GA-Retina heads build on
+    this structure."""
+    num_classes: int = 2
+    in_channels: int = 256
+    feat_channels: int = 256
+    deformable_groups: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        from ...ops.deform import deform_conv2d
+        init = normal_init(0.01)
+        loc_conv = Conv(1, (1, 1), dtype=self.dtype, kernel_init=init,
+                        bias_init=_bias_prior(), name="conv_loc")
+        shape_conv = Conv(2, (1, 1), dtype=self.dtype, kernel_init=init,
+                          name="conv_shape")
+        offset_conv = Conv(2 * 9, (1, 1), dtype=self.dtype,
+                           kernel_init=nn.initializers.zeros,
+                           name="feature_adaption_offset")
+        adapt_w = self.param("feature_adaption_kernel", init,
+                             (3, 3, self.in_channels, self.feat_channels),
+                             jnp.float32)
+        cls_conv = Conv(self.num_classes - 1, (1, 1), dtype=self.dtype,
+                        kernel_init=init, name="conv_cls")
+        reg_conv = Conv(4, (1, 1), dtype=self.dtype, kernel_init=init,
+                        name="conv_reg")
+        loc_outs, shape_outs, cls_outs, reg_outs = [], [], [], []
+        for feat in feats:
+            loc = loc_conv(feat)
+            shape = shape_conv(feat)
+            off = offset_conv(jax.lax.stop_gradient(shape).repeat(9, axis=-1)
+                              [..., :18])
+            adapted = nn.relu(deform_conv2d(feat, off, adapt_w,
+                                            kernel_size=3, padding=1))
+            loc_outs.append(loc)
+            shape_outs.append(shape)
+            cls_outs.append(cls_conv(adapted))
+            reg_outs.append(reg_conv(adapted))
+        return tuple(cls_outs), tuple(reg_outs), tuple(shape_outs), tuple(loc_outs)
+
+
+@HEADS.register_module
+class GARPNHead(GuidedAnchorHead):
+    """ga_rpn_head.py: guided-anchor RPN (binary objectness)."""

@@ -26,16 +26,19 @@ from ..registry import HEADS
 
 
 def flatten_roi_feats(x: jnp.ndarray) -> jnp.ndarray:
-    """(N, 7, 7, C) NHWC → (N, C*49) in the torch NCHW flattening order.
+    """(N, 7, 7, C) NHWC → (N, 49*C), flattened in native HWC order.
 
-    The reference flattens (N, C, 7, 7) with ``view(N, -1)``
-    (selsa_bbox_head.py:220); transposing first keeps imported torch fc
-    weights valid without permutation.
+    The reference flattens torch's (N, C, 7, 7) in CHW order
+    (selsa_bbox_head.py:220).  Transposing activations to match costs a real
+    device copy per call (~3.5 ms at the 300-RoI operating point), so the
+    HWC order is kept and the torch→jax converter permutes the *weights* of
+    every fc layer consuming flattened RoI features instead
+    (checkpoint.py:_fc_roi_w) — numerically identical, zero runtime cost.
     """
     if x.ndim == 2:
         return x
     n = x.shape[0]
-    return x.transpose(0, 3, 1, 2).reshape(n, -1)
+    return x.reshape(n, -1)
 
 
 @HEADS.register_module

@@ -261,3 +261,26 @@ class HRNMPBBoxHead(nn.Module):
         if mode == "train":
             return self.forward_train(bbox_feat, *args, **kw)
         return self.forward_test(bbox_feat, *args, **kw)
+
+
+# The reference package exports HNLBBoxHead / HNMBBBoxHead / HMPBBoxHead
+# (`mmdet/models/bbox_heads/__init__.py`) but the implementation files
+# `hnonlocal_bbox_head.py`, `hnmb_bbox_head.py`, `hmp_bbox_head.py` are
+# absent from the shipped tree — importing the reference package crashes.
+# The HRNMP config documents them as earlier iterations of the same
+# hierarchical relation head (`faster_rcnn_r101_hrnmp_c5.py:24-26`); they are
+# registered here as that head so configs naming them still build.
+
+@HEADS.register_module
+class HNLBBoxHead(HRNMPBBoxHead):
+    """Intra+inter-video non-local head (upstream file missing; see above)."""
+
+
+@HEADS.register_module
+class HNMBBBoxHead(HRNMPBBoxHead):
+    """Mini-batch video relation head (upstream file missing; see above)."""
+
+
+@HEADS.register_module
+class HMPBBoxHead(HRNMPBBoxHead):
+    """Hierarchical message-passing head (upstream file missing; see above)."""

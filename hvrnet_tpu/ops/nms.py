@@ -33,9 +33,20 @@ def _iou_row(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
 
 
 def nms_static(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float,
-               max_out: int, valid: Optional[jnp.ndarray] = None
-               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy NMS with a static number of outputs.
+               max_out: int, valid: Optional[jnp.ndarray] = None,
+               tile: int = 16) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS with a static number of outputs — exact tiled algorithm.
+
+    Instead of one (argmax → suppress) device round trip per survivor, each
+    round pulls the ``tile`` highest-scoring live candidates, resolves the
+    greedy keep/suppress decisions *within* the tile with an unrolled
+    prefix chain over the tile's pairwise IoU matrix, scatters the kept ones
+    into the output, and suppresses the remaining pool against them.  This is
+    bit-identical to sequential greedy NMS (a candidate's fate depends only
+    on higher-scored boxes, all of which are either in the current tile or
+    already processed) while cutting the sequential round count by roughly
+    the average number of tile members consumed per round.  The while_loop
+    exits as soon as the pool is empty or ``max_out`` boxes are kept.
 
     Args:
         boxes: (N, 4) float32.
@@ -43,32 +54,70 @@ def nms_static(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float,
         iou_thr: suppression threshold.
         max_out: number of survivors to emit (pad + mask when fewer exist).
         valid: optional (N,) bool, False rows are ignored entirely.
+        tile: candidates processed per round.
 
     Returns:
         keep_idx: (max_out,) int32 indices into the input (0 where invalid).
         keep_mask: (max_out,) bool.
     """
     n = boxes.shape[0]
-    live = jnp.where(valid, scores, NEG_INF) if valid is not None else scores
-    live = live.astype(jnp.float32)
+    tile = min(tile, n)
+    live0 = jnp.where(valid, scores, NEG_INF) if valid is not None else scores
+    live0 = live0.astype(jnp.float32)
+    boxes = boxes.astype(jnp.float32)
 
-    def body(i, carry):
-        live, keep_idx, keep_mask = carry
-        j = jnp.argmax(live)
-        ok = live[j] > NEG_INF / 2
-        keep_idx = keep_idx.at[i].set(jnp.where(ok, j, 0).astype(jnp.int32))
-        keep_mask = keep_mask.at[i].set(ok)
-        ious = _iou_row(boxes[j], boxes)
-        suppress = ious > iou_thr
-        live = jnp.where(ok & suppress, NEG_INF, live)
-        live = live.at[j].set(NEG_INF)
-        return live, keep_idx, keep_mask
+    def cond(carry):
+        live, out_idx, out_mask, cnt, rounds = carry
+        return (cnt < max_out) & (live.max() > NEG_INF / 2) & (rounds < max_out)
 
-    keep_idx = jnp.zeros((max_out,), jnp.int32)
-    keep_mask = jnp.zeros((max_out,), bool)
-    _, keep_idx, keep_mask = jax.lax.fori_loop(
-        0, max_out, body, (live, keep_idx, keep_mask))
-    return keep_idx, keep_mask
+    def body(carry):
+        live, out_idx, out_mask, cnt, rounds = carry
+        top_s, top_i = jax.lax.top_k(live, tile)
+        cand_ok = top_s > NEG_INF / 2
+        cb = boxes[top_i]                                   # (tile, 4)
+        lt = jnp.maximum(cb[:, None, :2], cb[None, :, :2])
+        rb = jnp.minimum(cb[:, None, 2:4], cb[None, :, 2:4])
+        wh = jnp.clip(rb - lt + 1.0, 0.0, None)
+        inter = wh[..., 0] * wh[..., 1]
+        area = (cb[:, 2] - cb[:, 0] + 1.0) * (cb[:, 3] - cb[:, 1] + 1.0)
+        iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-10)
+        adj = iou > iou_thr                                  # (tile, tile)
+
+        # greedy prefix chain within the tile (unrolled: tile is small)
+        keep = jnp.zeros((tile,), bool).at[0].set(cand_ok[0])
+        for i in range(1, tile):
+            suppressed = (keep[:i] & adj[:i, i]).any()
+            keep = keep.at[i].set(cand_ok[i] & ~suppressed)
+
+        # cap at the remaining output quota; non-kept rows scatter into a
+        # dump slot (index max_out) so they can't clobber kept writes
+        pos = cnt + jnp.cumsum(keep.astype(jnp.int32)) - 1
+        keep = keep & (pos < max_out)
+        pos_w = jnp.where(keep, jnp.clip(pos, 0, max_out - 1), max_out)
+        out_idx = out_idx.at[pos_w].set(top_i.astype(jnp.int32))
+        out_mask = out_mask.at[pos_w].set(True)
+        cnt = cnt + keep.sum()
+
+        # retire the whole tile and suppress the pool vs this round's keeps
+        live = live.at[top_i].set(NEG_INF)
+        kb = jnp.where(keep[:, None], cb, -1e8)             # inert rows
+        lt = jnp.maximum(kb[:, None, :2], boxes[None, :, :2])
+        rb = jnp.minimum(kb[:, None, 2:4], boxes[None, :, 2:4])
+        wh = jnp.clip(rb - lt + 1.0, 0.0, None)
+        inter = wh[..., 0] * wh[..., 1]
+        karea = (kb[:, 2] - kb[:, 0] + 1.0) * (kb[:, 3] - kb[:, 1] + 1.0)
+        barea = (boxes[:, 2] - boxes[:, 0] + 1.0) * (boxes[:, 3] - boxes[:, 1] + 1.0)
+        pio = inter / jnp.maximum(karea[:, None] + barea[None, :] - inter, 1e-10)
+        sup = (keep[:, None] & (pio > iou_thr)).any(axis=0)
+        live = jnp.where(sup, NEG_INF, live)
+        return live, out_idx, out_mask, cnt, rounds + 1
+
+    out_idx = jnp.zeros((max_out + 1,), jnp.int32)
+    out_mask = jnp.zeros((max_out + 1,), bool)
+    _, out_idx, out_mask, _, _ = jax.lax.while_loop(
+        cond, body,
+        (live0, out_idx, out_mask, jnp.int32(0), jnp.int32(0)))
+    return out_idx[:max_out], out_mask[:max_out]
 
 
 def nms(dets: jnp.ndarray, iou_thr: float, max_out: Optional[int] = None,

@@ -76,6 +76,33 @@ def _fc_w(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (1, 0))
 
 
+ROI_FEAT_HW = 7
+
+
+def _fc_roi_w(w: np.ndarray) -> np.ndarray:
+    """fc weight over flattened RoI features: torch flattens (C, 7, 7) in
+    CHW order, this framework flattens NHWC pooled features in HWC order
+    (bbox_head.flatten_roi_feats) — permute the input axis accordingly."""
+    out_dim, in_dim = w.shape
+    c = in_dim // (ROI_FEAT_HW * ROI_FEAT_HW)
+    w = w.reshape(out_dim, c, ROI_FEAT_HW, ROI_FEAT_HW)
+    w = np.transpose(w, (0, 2, 3, 1)).reshape(out_dim, in_dim)
+    return np.transpose(w, (1, 0))
+
+
+def _is_roi_fc(name_base: str, w: np.ndarray) -> bool:
+    """fc layers that consume flattened 7×7 RoI maps: fc_new_1 of the
+    SELSA/HRNMP heads, the first shared fc of ConvFC heads, and plain
+    BBoxHead fc_cls/fc_reg on conv features (in_dim divisible by 49 and
+    larger than the 1024-d relation features)."""
+    if w.ndim != 2:
+        return False
+    in_dim = w.shape[1]
+    if in_dim % (ROI_FEAT_HW * ROI_FEAT_HW) != 0 or in_dim < 2048:
+        return False
+    return name_base in ("fc_new_1", "shared_fc0", "fc_cls", "fc_reg", "fc0")
+
+
 def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray):
     node = tree
     for k in path[:-1]:
@@ -181,9 +208,12 @@ def convert_torch_checkpoint(state_dict: Dict[str, np.ndarray],
                 else:
                     val = v
                 _set(out, ("bbox_head", sub, base, key), val)
-            elif sub.startswith("fc_"):
+            elif sub.startswith("fc_") or sub.startswith("shared_fc"):
                 key = "kernel" if parts[2] == "weight" else "bias"
-                val = _fc_w(v) if parts[2] == "weight" else v
+                if parts[2] == "weight":
+                    val = _fc_roi_w(v) if _is_roi_fc(sub, v) else _fc_w(v)
+                else:
+                    val = v
                 _set(out, ("bbox_head", sub, key), val)
             else:
                 unused.append(name)
