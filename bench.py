@@ -52,25 +52,25 @@ def main():
     pad_shape = np.array([608.0, 1008.0], np.float32)
     scale_factor = np.array([1.67, 1.67, 1.67, 1.67], np.float32)
 
-    # warm up / compile
+    # warm up / compile (device-resident ring buffer, one push + one detect
+    # dispatch per frame — the real runner's steady state)
+    ish = jnp.asarray(img_shape)
+    sfd = jnp.asarray(scale_factor)
     feats = engine.frame_features(params, img, img_shape, pad_shape)
     jax.block_until_ready(feats)
-    fc1 = jnp.broadcast_to(feats["fc1"][None], (T,) + feats["fc1"].shape)
-    boxes = jnp.broadcast_to(feats["boxes"][None], (T,) + feats["boxes"].shape)
-    masks = jnp.broadcast_to(feats["mask"][None], (T,) + feats["mask"].shape)
-    out = engine.window_detect(params, fc1, boxes, masks, img_shape,
-                               scale_factor)
+    state = engine.ring_reset(int(feats["fc1"].shape[-1]))
+    for _ in range(T):
+        state = engine.ring_push(state, feats)
+    out = engine.ring_detect(params, state, ish, sfd)
     jax.block_until_ready(out)
 
-    # steady state: one frame_features + one window_detect per output frame
-    n = 30
+    n = 100
     t0 = time.perf_counter()
     for _ in range(n):
         feats = engine.frame_features(params, img, img_shape, pad_shape)
-        out = engine.window_detect(params, fc1, boxes, masks, img_shape,
-                                   scale_factor)
+        state = engine.ring_push(state, feats)
+        out = engine.ring_detect(params, state, ish, sfd)
     jax.block_until_ready(out)
-    jax.block_until_ready(feats)
     dt = time.perf_counter() - t0
     fps = n / dt
 

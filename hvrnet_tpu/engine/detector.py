@@ -150,8 +150,69 @@ class BaseEngine:
             jnp.asarray(pad_shape, jnp.float32))
 
 
+class _RingMixin:
+    """Device-resident sliding-window ring buffer.
+
+    The per-frame caches (fc1 projections, proposal boxes, masks) live on
+    device in circular (T, …) buffers; a push is one fused
+    dynamic_update_slice program and a detect rolls the buffers into
+    oldest→newest order before the window head — so the steady-state loop
+    issues exactly one push + one detect dispatch per frame with no
+    host-side stacking.  This is the TPU realization of the reference's
+    python deque of feature maps (tools/test.py:202-213).
+    """
+
+    def ring_reset(self, fc1_dim: int):
+        T, P = self.window, self.proposal_num
+        return dict(
+            fc1=jnp.zeros((T, P, fc1_dim), self.dtype),
+            boxes=jnp.zeros((T, P, 4), jnp.float32),
+            masks=jnp.zeros((T, P), bool),
+            pos=jnp.int32(-1),
+            count=jnp.int32(0))
+
+    @functools.lru_cache(maxsize=2)
+    def _ring_push_fn(self, t_dim: int):
+        def fn(state, feats):
+            pos = (state["pos"] + 1) % t_dim
+            return dict(
+                fc1=jax.lax.dynamic_update_slice(
+                    state["fc1"], feats["fc1"][None].astype(state["fc1"].dtype),
+                    (pos, 0, 0)),
+                boxes=jax.lax.dynamic_update_slice(
+                    state["boxes"], feats["boxes"][None], (pos, 0, 0)),
+                masks=jax.lax.dynamic_update_slice(
+                    state["masks"], feats["mask"][None], (pos, 0)),
+                pos=pos,
+                count=jnp.minimum(state["count"] + 1, t_dim))
+        return jax.jit(fn, donate_argnums=(0,))
+
+    def ring_push(self, state, feats):
+        return self._ring_push_fn(self.window)(state, feats)
+
+    @functools.lru_cache(maxsize=4)
+    def _ring_detect_fn(self, t_dim: int, key_dim: int):
+        body = self._window_body(t_dim, key_dim)
+
+        def fn(params, state, img_shape, scale_factor):
+            shift = -(state["pos"] + 1)
+            fc1 = jnp.roll(state["fc1"], shift, axis=0)
+            boxes = jnp.roll(state["boxes"], shift, axis=0)
+            masks = jnp.roll(state["masks"], shift, axis=0)
+            return body(params, fc1, boxes, masks, img_shape, scale_factor)
+
+        return jax.jit(fn)
+
+    def ring_detect(self, params, state, img_shape, scale_factor,
+                    key_dim: Optional[int] = None):
+        fn = self._ring_detect_fn(self.window,
+                                  self.key_dim if key_dim is None else key_dim)
+        return fn(params, state, jnp.asarray(img_shape, jnp.float32),
+                  jnp.asarray(scale_factor, jnp.float32))
+
+
 @DETECTORS.register_module
-class SelsaRCNN(BaseEngine):
+class SelsaRCNN(_RingMixin, BaseEngine):
     """SELSA video detector (`/root/reference/mmdet/models/detectors/selsa_rcnn.py`)."""
 
     def __init__(self, model_cfg, train_cfg=None, test_cfg=None, dtype=jnp.float32):
@@ -163,8 +224,7 @@ class SelsaRCNN(BaseEngine):
         self.window = (2 * int(self.test_cfg["relation_setup"]["frame_interval"]) + 1
                        if self.test_cfg else None)
 
-    @functools.lru_cache(maxsize=4)
-    def _window_fn(self, t_dim: int, key_dim: int):
+    def _window_body(self, t_dim: int, key_dim: int):
         mod = self.module
         rcnn_cfg = self.test_cfg["rcnn"]
         P = self.proposal_num
@@ -179,7 +239,11 @@ class SelsaRCNN(BaseEngine):
                                   self.target_stds, rescale=True, cfg=rcnn_cfg,
                                   valid=masks[key_dim])
 
-        return jax.jit(fn)
+        return fn
+
+    @functools.lru_cache(maxsize=4)
+    def _window_fn(self, t_dim: int, key_dim: int):
+        return jax.jit(self._window_body(t_dim, key_dim))
 
     def window_detect(self, params, fc1_stack, boxes, masks, img_shape,
                       scale_factor, key_dim: Optional[int] = None):
@@ -195,7 +259,7 @@ class SelsaRCNN(BaseEngine):
 
 
 @DETECTORS.register_module
-class HNMBRCNN(BaseEngine):
+class HNMBRCNN(_RingMixin, BaseEngine):
     """HVRNet detector (`/root/reference/mmdet/models/detectors/hnmb_rcnn.py`).
 
     At test time this is the SELSA machine with the HRNMP 4-block head and a
@@ -213,8 +277,7 @@ class HNMBRCNN(BaseEngine):
         self.window = (2 * int(self.test_cfg["relation_setup"]["frame_interval"]) + 1
                        if self.test_cfg else None)
 
-    @functools.lru_cache(maxsize=4)
-    def _window_fn(self, t_dim: int, key_dim: int):
+    def _window_body(self, t_dim: int, key_dim: int):
         mod = self.module
         rcnn_cfg = self.test_cfg["rcnn"]
         P = self.proposal_num
@@ -232,7 +295,11 @@ class HNMBRCNN(BaseEngine):
                     cfg=rcnn_cfg, valid=masks[key_dim]))
             return outs   # [(dets, labels, mask) per branch]
 
-        return jax.jit(fn)
+        return fn
+
+    @functools.lru_cache(maxsize=4)
+    def _window_fn(self, t_dim: int, key_dim: int):
+        return jax.jit(self._window_body(t_dim, key_dim))
 
     def window_detect(self, params, fc1_stack, boxes, masks, img_shape,
                       scale_factor, key_dim: Optional[int] = None):

@@ -15,8 +15,11 @@ The cache holds per-frame (fc1, proposal boxes, masks) rather than raw C4
 maps — per-frame computation (backbone → shared head → RPN → RoIAlign →
 fc_new_1) is window-independent, so it runs exactly once per frame (the
 reference recomputes everything but the backbone for all T frames per output
-frame).  Results are placed by absolute frame id exactly like
-test.py:237-248 so `vid_eval` ordering matches.
+frame).  When the engine provides the device-side ring-buffer API
+(`_RingMixin`), the steady state is one fused push + one detect dispatch per
+frame; otherwise host deques + stacking are used.  Results are placed by
+absolute frame id exactly like test.py:237-248 so `vid_eval` ordering
+matches.
 """
 from __future__ import annotations
 
@@ -40,7 +43,8 @@ class SlidingWindowRunner:
     """Runs a SELSA/HVRNet engine over a sequential frame stream."""
 
     def __init__(self, engine, params, window: Optional[int] = None,
-                 branch: int = -1, progress_hook=None):
+                 branch: int = -1, progress_hook=None,
+                 use_ring: Optional[bool] = None):
         self.engine = engine
         self.params = params
         self.window = window or engine.window
@@ -48,6 +52,10 @@ class SlidingWindowRunner:
         self.branch = branch            # which head branch to keep (HVRNet)
         self.num_classes = engine.num_classes
         self.progress_hook = progress_hook
+        if use_ring is None:
+            use_ring = (hasattr(engine, "ring_reset")
+                        and self.window == engine.window)
+        self.use_ring = use_ring
 
     # ------------------------------------------------------------------ run
     def run(self, frame_stream: Iterable[Dict], num_frames: int) -> List:
@@ -61,17 +69,36 @@ class SlidingWindowRunner:
         T = self.window
         half = (T + 1) // 2
         results: List = [None] * num_frames
-        cache = None
-        offsets = None
-        meta = None
+
+        ring_state = None
+        cache = None        # host fallback
+        n_cached = 0
+        offsets: deque = deque(maxlen=T)
+        meta: deque = deque(maxlen=T)
+
+        def push(feats, frame, fmeta):
+            nonlocal ring_state, cache, n_cached
+            if self.use_ring:
+                ring_state = self.engine.ring_push(ring_state, feats)
+            else:
+                cache.append(feats)
+            n_cached = min(n_cached + 1, T)
+            offsets.append(frame["frame_offset"])
+            meta.append(fmeta)
 
         def detect_center():
-            fc1 = jnp.stack([c["fc1"] for c in cache])
-            boxes = jnp.stack([c["boxes"] for c in cache])
-            masks = jnp.stack([c["mask"] for c in cache])
             m = meta[self.key_dim]
-            out = self.engine.window_detect(self.params, fc1, boxes, masks,
-                                            m["img_shape"], m["scale_factor"])
+            if self.use_ring:
+                out = self.engine.ring_detect(self.params, ring_state,
+                                              m["img_shape"],
+                                              m["scale_factor"])
+            else:
+                fc1 = jnp.stack([c["fc1"] for c in cache])
+                boxes = jnp.stack([c["boxes"] for c in cache])
+                masks = jnp.stack([c["mask"] for c in cache])
+                out = self.engine.window_detect(self.params, fc1, boxes,
+                                                masks, m["img_shape"],
+                                                m["scale_factor"])
             if isinstance(out, list):       # HVRNet: one det set per branch
                 out = out[self.branch]
             dets, labels, mask = out
@@ -89,29 +116,26 @@ class SlidingWindowRunner:
                          scale_factor=frame["scale_factor"],
                          frame_start_id=frame["frame_start_id"])
             if flag == 0:      # new video: reset + front-pad
-                cache = deque(maxlen=T)
+                if self.use_ring:
+                    ring_state = self.engine.ring_reset(
+                        int(feats["fc1"].shape[-1]))
+                else:
+                    cache = deque(maxlen=T)
                 offsets = deque(maxlen=T)
                 meta = deque(maxlen=T)
-                while len(cache) < half:
-                    cache.append(feats)
-                    offsets.append(frame["frame_offset"])
-                    meta.append(fmeta)
+                n_cached = 0
+                while n_cached < half:
+                    push(feats, frame, fmeta)
             elif flag == 2:    # interior
-                cache.append(feats)
-                offsets.append(frame["frame_offset"])
-                meta.append(fmeta)
-                if len(cache) == T:
+                push(feats, frame, fmeta)
+                if n_cached == T:
                     detect_center()
             elif flag == 1:    # video end: tail-pad and drain
-                while len(cache) < T - 1:
-                    cache.append(feats)
-                    offsets.append(frame["frame_offset"])
-                    meta.append(fmeta)
+                while n_cached < T - 1:
+                    push(feats, frame, fmeta)
                 end_counter = 0
                 while end_counter < min(frame["seg_len"], half):
-                    cache.append(feats)
-                    offsets.append(frame["frame_offset"])
-                    meta.append(fmeta)
+                    push(feats, frame, fmeta)
                     end_counter += 1
                     detect_center()
             else:
