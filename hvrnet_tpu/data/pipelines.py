@@ -301,6 +301,74 @@ class Corrupt:
             "imagecorruptions backend unavailable; Corrupt is a config-parity stub")
 
 
+class LoadProposals:
+    """loading.py:131 — attach precomputed proposals to the sample."""
+
+    def __init__(self, num_max_proposals: Optional[int] = None):
+        self.num_max_proposals = num_max_proposals
+
+    def __call__(self, results):
+        proposals = results.get("proposals")
+        if proposals is None:
+            return results
+        if proposals.shape[1] not in (4, 5):
+            raise AssertionError(
+                f"proposals should be (n, 4|5), got {proposals.shape}")
+        proposals = proposals[:, :4]
+        if self.num_max_proposals is not None:
+            proposals = proposals[:self.num_max_proposals]
+        if len(proposals) == 0:
+            proposals = np.array([[0, 0, 0, 0]], np.float32)
+        results["proposals"] = proposals
+        results.setdefault("bbox_fields", []).append("proposals")
+        return results
+
+
+class MultiScaleFlipAug:
+    """test_aug.py:8 — expand one sample into scale×flip augmented copies.
+
+    Returns a LIST of results dicts (one per aug); consumers iterate and
+    merge with `core.merge_augs`.
+    """
+
+    def __init__(self, transforms, img_scale, flip: bool = False):
+        self.transforms = Compose(transforms)
+        self.img_scales = (img_scale if isinstance(img_scale, list)
+                           else [img_scale])
+        self.flip = flip
+
+    def __call__(self, results):
+        augs = []
+        flips = [False, True] if self.flip else [False]
+        for scale in self.img_scales:
+            for flip in flips:
+                r = dict(results)
+                r["img"] = results["img"].copy()
+                r["scale_override"] = tuple(scale)
+                r["flip"] = flip
+                # rebuild Resize with this scale
+                out = r
+                for t in self.transforms.transforms:
+                    if isinstance(t, Resize):
+                        t = Resize(img_scale=tuple(scale),
+                                   keep_ratio=t.keep_ratio)
+                    out = t(out)
+                    if out is None:
+                        break
+                if out is not None:
+                    augs.append(out)
+        return augs
+
+
+class Albu:
+    """transforms.py:705 — albumentations bridge (package absent in this
+    image; config-parity stub)."""
+
+    def __init__(self, transforms=None, **kwargs):
+        raise NotImplementedError(
+            "albumentations is not available; Albu is a config-parity stub")
+
+
 class ImageToTensor:
     def __init__(self, keys):
         self.keys = keys
@@ -338,6 +406,9 @@ TRANSFORMS = {
     "Expand": Expand,
     "MinIoURandomCrop": MinIoURandomCrop,
     "Corrupt": Corrupt,
+    "LoadProposals": LoadProposals,
+    "MultiScaleFlipAug": MultiScaleFlipAug,
+    "Albu": Albu,
     "ImageToTensor": ImageToTensor,
     "DefaultFormatBundle": DefaultFormatBundle,
     "Collect": Collect,

@@ -54,12 +54,28 @@ class SelsaAttention(nn.Module):
     def __call__(self, roi_feat: jnp.ndarray, nongt_feat: jnp.ndarray,
                  key_mask: Optional[jnp.ndarray] = None,
                  return_aff: bool = False):
-        """roi_feat: (Q, D) queries; nongt_feat: (K, D) keys/values."""
+        """roi_feat: (Q, D) queries; nongt_feat: (K, D) keys/values.
+
+        When the affinity matrix isn't needed by the caller, the block runs
+        through the fused masked-attention op (Pallas flash kernel on TPU,
+        plain XLA elsewhere — ops/attention.py); the explicit-affinity path
+        is kept for the HRNMP mining branch (return_aff=True).
+        """
+        from ...ops.attention import masked_attention
         q = self.q_data_fc(roi_feat)
         k = self.k_data_fc(nongt_feat)
         v = self.v_data_fc(nongt_feat) if self.conv_g else nongt_feat
-        aff = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-        aff = aff * (1.0 / math.sqrt(float(self.dim[1])))
+        scale = 1.0 / math.sqrt(float(self.dim[1]))
+        if not return_aff:
+            bias = (jnp.where(key_mask, 0.0, NEG_INF)
+                    if key_mask is not None
+                    else jnp.zeros((k.shape[0],), jnp.float32))
+            out = masked_attention(q, k, v, bias, scale)
+            out = out.astype(roi_feat.dtype)
+            if self.conv_z:
+                out = self.linear_out(out)
+            return out
+        aff = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         if key_mask is not None:
             aff = jnp.where(key_mask[None, :], aff, NEG_INF)
         w = jax.nn.softmax(aff, axis=-1)
@@ -67,9 +83,7 @@ class SelsaAttention(nn.Module):
         out = out.astype(roi_feat.dtype)
         if self.conv_z:
             out = self.linear_out(out)  # 1×1 conv on (N, C, 1, 1) ≡ dense
-        if return_aff:
-            return out, aff
-        return out
+        return out, aff
 
 
 @HEADS.register_module
