@@ -44,7 +44,7 @@ class SlidingWindowRunner:
 
     def __init__(self, engine, params, window: Optional[int] = None,
                  branch: int = -1, progress_hook=None,
-                 use_ring: Optional[bool] = None):
+                 use_ring: Optional[bool] = None, timer=None):
         self.engine = engine
         self.params = params
         self.window = window or engine.window
@@ -56,6 +56,9 @@ class SlidingWindowRunner:
             use_ring = (hasattr(engine, "ring_reset")
                         and self.window == engine.window)
         self.use_ring = use_ring
+        # t_data/t_net-style phase accounting the reference computed but
+        # never surfaced (tools/test.py:55-56,195-196)
+        self.timer = timer
 
     # ------------------------------------------------------------------ run
     def run(self, frame_stream: Iterable[Dict], num_frames: int) -> List:
@@ -87,6 +90,13 @@ class SlidingWindowRunner:
             meta.append(fmeta)
 
         def detect_center():
+            import contextlib
+            ctx = (self.timer.phase("window_detect") if self.timer
+                   else contextlib.nullcontext())
+            with ctx:
+                _detect_center_inner()
+
+        def _detect_center_inner():
             m = meta[self.key_dim]
             if self.use_ring:
                 out = self.engine.ring_detect(self.params, ring_state,
@@ -108,10 +118,15 @@ class SlidingWindowRunner:
             if self.progress_hook:
                 self.progress_hook(1)
 
+        import contextlib
+        nullctx = contextlib.nullcontext
+
         for frame in frame_stream:
             flag = frame["key_frame_flag"]
-            feats = self.engine.frame_features(
-                self.params, frame["img"], frame["img_shape"], frame["pad_shape"])
+            with (self.timer.phase("frame_features") if self.timer else nullctx()):
+                feats = self.engine.frame_features(
+                    self.params, frame["img"], frame["img_shape"],
+                    frame["pad_shape"])
             fmeta = dict(img_shape=frame["img_shape"],
                          scale_factor=frame["scale_factor"],
                          frame_start_id=frame["frame_start_id"])

@@ -33,6 +33,10 @@ def parse_args():
     p.add_argument("--window", type=int, default=None,
                    help="override sliding-window length")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--trace", default=None,
+                   help="capture a jax.profiler trace to this directory")
+    p.add_argument("--timing", action="store_true",
+                   help="print per-phase wall-clock summary at the end")
     return p.parse_args()
 
 
@@ -78,10 +82,18 @@ def main():
         if done[0] % 100 == 0:
             logger.info("rank %d: %d frames done", args.rank, done[0])
 
+    from hvrnet_tpu.utils.profiling import PhaseTimer, trace
+    import contextlib
+    timer = PhaseTimer() if args.timing else None
     runner = SlidingWindowRunner(engine, params, window=args.window,
-                                 branch=args.branch, progress_hook=progress)
-    results = runner.run(test_frame_stream(dataset, rank=args.rank),
-                         num_frames=len(dataset))
+                                 branch=args.branch, progress_hook=progress,
+                                 timer=timer)
+    trace_ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
+    with trace_ctx:
+        results = runner.run(test_frame_stream(dataset, rank=args.rank),
+                             num_frames=len(dataset))
+    if timer is not None:
+        print(timer.summary())
 
     tmpdir = args.tmpdir or os.path.dirname(os.path.abspath(args.out)) or "."
     os.makedirs(tmpdir, exist_ok=True)
