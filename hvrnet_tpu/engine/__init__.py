@@ -8,3 +8,6 @@ __all__ = [
     "BaseEngine", "SelsaRCNN", "HNMBRCNN", "HNLRCNN", "FasterRCNN",
     "FastRCNN", "SlidingWindowRunner",
 ]
+from .batched_runner import BatchedSlidingWindowRunner, make_window_schedule  # noqa: E402
+
+__all__ += ["BatchedSlidingWindowRunner", "make_window_schedule"]

@@ -149,6 +149,38 @@ class BaseEngine:
             jnp.asarray(img_shape, jnp.float32),
             jnp.asarray(pad_shape, jnp.float32))
 
+    # ------------------------------------------------- batched frame program
+    @functools.lru_cache(maxsize=8)
+    def _frame_post_batched_fn(self, canvas_h: int, canvas_w: int):
+        """vmap of the post-backbone stage over a frame batch (one frame per
+        video stream) — batched NMS/RoIAlign/fc1 for server throughput."""
+        canvas = self._canvas(canvas_h, canvas_w)
+        rpn_cfg = self.test_cfg["rpn"]
+        mod = self.module
+
+        def single(params, c5_hwc, cls_hw, reg_hw, img_shape, pad_shape):
+            boxes, scores, mask = _rpn_proposals(
+                cls_hw, reg_hw, canvas, pad_shape, img_shape, rpn_cfg,
+                self.rpn_means, self.rpn_stds)
+            rois = jnp.concatenate(
+                [jnp.zeros((boxes.shape[0], 1), boxes.dtype), boxes], axis=1)
+            pooled = self.roi_extractor([c5_hwc[None]], rois)
+            fc1 = mod.apply(params, pooled, method=mod.bbox_precompute_fc1)
+            return dict(fc1=fc1, boxes=boxes, scores=scores, mask=mask)
+
+        return jax.jit(jax.vmap(single, in_axes=(None, 0, 0, 0, 0, 0)))
+
+    def frame_features_batched(self, params, imgs: jnp.ndarray, img_shapes,
+                               pad_shapes):
+        """imgs: (B, H, W, 3) — one frame from each of B video streams.
+        Returns dict of (B, …) per-frame caches."""
+        h, w = imgs.shape[1], imgs.shape[2]
+        c5, cls_map, reg_map = self._frame_backbone_fn(h, w)(params, imgs)
+        return self._frame_post_batched_fn(h, w)(
+            params, c5, cls_map, reg_map,
+            jnp.asarray(img_shapes, jnp.float32),
+            jnp.asarray(pad_shapes, jnp.float32))
+
 
 class _RingMixin:
     """Device-resident sliding-window ring buffer.
@@ -209,6 +241,72 @@ class _RingMixin:
                                   self.key_dim if key_dim is None else key_dim)
         return fn(params, state, jnp.asarray(img_shape, jnp.float32),
                   jnp.asarray(scale_factor, jnp.float32))
+
+    # -------------------------------------------------- batched ring buffers
+    def ring_reset_batched(self, batch: int, fc1_dim: int):
+        T, P = self.window, self.proposal_num
+        return dict(
+            fc1=jnp.zeros((batch, T, P, fc1_dim), self.dtype),
+            boxes=jnp.zeros((batch, T, P, 4), jnp.float32),
+            masks=jnp.zeros((batch, T, P), bool),
+            pos=jnp.full((batch,), -1, jnp.int32),
+            count=jnp.zeros((batch,), jnp.int32))
+
+    @functools.lru_cache(maxsize=2)
+    def _ring_push_batched_fn(self, t_dim: int):
+        single = self._ring_push_fn.__wrapped__(self, t_dim) \
+            if hasattr(self._ring_push_fn, "__wrapped__") else None
+
+        def one(state, feats, reset):
+            pos = jnp.where(reset, 0, (state["pos"] + 1) % t_dim)
+            fc1_new = feats["fc1"].astype(state["fc1"].dtype)
+            fc1 = jnp.where(
+                reset,
+                jnp.broadcast_to(fc1_new[None], state["fc1"].shape),
+                jax.lax.dynamic_update_slice(state["fc1"], fc1_new[None],
+                                             (pos, 0, 0)))
+            boxes = jnp.where(
+                reset,
+                jnp.broadcast_to(feats["boxes"][None], state["boxes"].shape),
+                jax.lax.dynamic_update_slice(state["boxes"],
+                                             feats["boxes"][None],
+                                             (pos, 0, 0)))
+            masks = jnp.where(
+                reset,
+                jnp.broadcast_to(feats["mask"][None], state["masks"].shape),
+                jax.lax.dynamic_update_slice(state["masks"],
+                                             feats["mask"][None], (pos, 0)))
+            return dict(fc1=fc1, boxes=boxes, masks=masks, pos=pos,
+                        count=jnp.where(reset, 1,
+                                        jnp.minimum(state["count"] + 1, t_dim)))
+
+        return jax.jit(jax.vmap(one), donate_argnums=(0,))
+
+    def ring_push_batched(self, state, feats, reset):
+        """state: (B, …) ring buffers; feats: (B, …) frame caches;
+        reset: (B,) bool — True fills the whole ring with this frame
+        (video-start front padding in one shot)."""
+        return self._ring_push_batched_fn(self.window)(state, feats, reset)
+
+    @functools.lru_cache(maxsize=4)
+    def _ring_detect_batched_fn(self, t_dim: int, key_dim: int):
+        body = self._window_body(t_dim, key_dim)
+
+        def one(params, state, img_shape, scale_factor):
+            shift = -(state["pos"] + 1)
+            fc1 = jnp.roll(state["fc1"], shift, axis=0)
+            boxes = jnp.roll(state["boxes"], shift, axis=0)
+            masks = jnp.roll(state["masks"], shift, axis=0)
+            return body(params, fc1, boxes, masks, img_shape, scale_factor)
+
+        return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0)))
+
+    def ring_detect_batched(self, params, state, img_shapes, scale_factors,
+                            key_dim: Optional[int] = None):
+        fn = self._ring_detect_batched_fn(
+            self.window, self.key_dim if key_dim is None else key_dim)
+        return fn(params, state, jnp.asarray(img_shapes, jnp.float32),
+                  jnp.asarray(scale_factors, jnp.float32))
 
 
 @DETECTORS.register_module

@@ -1,0 +1,92 @@
+"""Batched lockstep runner: window schedule correctness + equality with the
+sequential runner on the mini dataset."""
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from hvrnet_tpu.engine.batched_runner import make_window_schedule
+from tests.test_vid_dataset import TEST_PIPELINE, mini_vid  # noqa: F401
+
+
+def simulate_reference_loop(offsets, T):
+    """Direct transliteration of the reference deque loop's emissions
+    (tools/test.py:201-294) — independent oracle for the schedule."""
+    from collections import deque
+    half = (T + 1) // 2
+    L = len(offsets)
+    window = deque(maxlen=T)
+    emitted = []
+    for i, off in enumerate(offsets):
+        if i == 0:
+            while len(window) < half:
+                window.append(off)
+        elif i < L - 1:
+            window.append(off)
+            if len(window) == T:
+                emitted.append(window[half - 1])
+        else:
+            while len(window) < T - 1:
+                window.append(off)
+            cnt = 0
+            while cnt < min(L, half):
+                window.append(off)
+                cnt += 1
+                emitted.append(window[half - 1])
+    return emitted
+
+
+@pytest.mark.parametrize("L", [1, 2, 3, 5, 10, 11, 15, 21, 30, 50])
+@pytest.mark.parametrize("T", [3, 21])
+def test_schedule_matches_reference_loop(L, T):
+    if L < 2:
+        pytest.skip("reference loop needs ≥2 frames (start + end flags)")
+    rng = np.random.default_rng(L * 100 + T)
+    offsets = list(rng.permutation(L))
+    actions = make_window_schedule(offsets, T)
+    emitted = [e for _, _, e in actions if e is not None]
+    ref = simulate_reference_loop(offsets, T)
+    assert emitted == ref
+    # every frame of the video gets exactly one emission
+    assert sorted(emitted) == sorted(offsets)
+
+
+def test_batched_equals_sequential(mini_vid):  # noqa: F811
+    import jax
+    from hvrnet_tpu.data import VIDSeqDataset
+    from hvrnet_tpu.engine import (BatchedSlidingWindowRunner, SelsaRCNN,
+                                   SlidingWindowRunner)
+    from hvrnet_tpu.engine.stream import test_frame_stream
+    from tests.test_engine_selsa import tiny_selsa_cfg
+
+    model_cfg, test_cfg = tiny_selsa_cfg(window_interval=1, proposals=8)
+    engine = SelsaRCNN(model_cfg, None, test_cfg)
+    params = engine.init_params(jax.random.PRNGKey(0))
+    ann = osp.join(mini_vid, "ImageSets/VID_val_videos.txt")
+
+    # video_shuffle would interleave pipeline RNG draws differently between
+    # the two runners (RandomFlip consumes np.random per frame), so the
+    # equality check runs unshuffled.
+    ds1 = VIDSeqDataset(ann_file=ann, img_prefix=mini_vid,
+                        pipeline=TEST_PIPELINE, test_mode=True, world_size=1,
+                        video_shuffle=False)
+    seq = SlidingWindowRunner(engine, params).run(
+        test_frame_stream(ds1, rank=0, max_long=96, max_short=64),
+        num_frames=len(ds1))
+
+    ds2 = VIDSeqDataset(ann_file=ann, img_prefix=mini_vid,
+                        pipeline=TEST_PIPELINE, test_mode=True, world_size=1,
+                        video_shuffle=False)
+    bat = BatchedSlidingWindowRunner(engine, params, batch=2).run(
+        ds2, rank=0, max_long=96, max_short=64)
+
+    assert len(seq) == len(bat)
+    # vmapped matmuls reassociate float accumulation, so batched results can
+    # differ from sequential at the ~1e-4 level; windows/emissions themselves
+    # are schedule-exact (test_schedule_matches_reference_loop).
+    for i, (a, b) in enumerate(zip(seq, bat)):
+        assert (a is None) == (b is None), i
+        for ca, cb in zip(a, b):
+            assert ca.shape == cb.shape, f"frame {i}"
+            np.testing.assert_allclose(ca, cb, rtol=1e-3, atol=5e-3,
+                                       err_msg=f"frame {i}")
