@@ -44,7 +44,8 @@ class SlidingWindowRunner:
 
     def __init__(self, engine, params, window: Optional[int] = None,
                  branch: int = -1, progress_hook=None,
-                 use_ring: Optional[bool] = None, timer=None):
+                 use_ring: Optional[bool] = None, timer=None,
+                 prepad_provider=None):
         self.engine = engine
         self.params = params
         self.window = window or engine.window
@@ -59,6 +60,12 @@ class SlidingWindowRunner:
         # t_data/t_net-style phase accounting the reference computed but
         # never surfaced (tools/test.py:55-56,195-196)
         self.timer = timer
+        # HVRNet start-of-video padding: the reference replaces repeated
+        # first-frame copies with random same-video frames
+        # (hnl_test.py:pre_padding_imgs:293).  When set, this callable maps
+        # the video's first frame dict to a list of (T+1)//2 − 1 frame dicts
+        # pushed before it.
+        self.prepad_provider = prepad_provider
 
     # ------------------------------------------------------------------ run
     def run(self, frame_stream: Iterable[Dict], num_frames: int) -> List:
@@ -139,6 +146,18 @@ class SlidingWindowRunner:
                 offsets = deque(maxlen=T)
                 meta = deque(maxlen=T)
                 n_cached = 0
+                if self.prepad_provider is not None:
+                    for pre in self.prepad_provider(frame):
+                        pre_feats = self.engine.frame_features(
+                            self.params, pre["img"], pre["img_shape"],
+                            pre["pad_shape"])
+                        push(pre_feats, pre, dict(
+                            img_shape=pre["img_shape"],
+                            scale_factor=pre["scale_factor"],
+                            frame_start_id=pre.get("frame_start_id",
+                                                   frame["frame_start_id"])))
+                        if n_cached >= half - 1:
+                            break
                 while n_cached < half:
                     push(feats, frame, fmeta)
             elif flag == 2:    # interior

@@ -172,6 +172,47 @@ class IoULoss:
 
 
 @LOSSES.register_module
+class BoundedIoULoss:
+    """Bounded IoU loss (reference iou_loss.py:105): per-coordinate bounded
+    IoU surrogate on (dx, dy, dw, dh)-style targets."""
+
+    def __init__(self, beta=0.2, eps=1e-3, reduction="mean", loss_weight=1.0):
+        self.beta = beta
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
+        reduction = reduction_override or self.reduction
+        px = (pred[:, 0] + pred[:, 2]) * 0.5
+        py = (pred[:, 1] + pred[:, 3]) * 0.5
+        pw = pred[:, 2] - pred[:, 0] + 1
+        ph = pred[:, 3] - pred[:, 1] + 1
+        tx = (target[:, 0] + target[:, 2]) * 0.5
+        ty = (target[:, 1] + target[:, 3]) * 0.5
+        tw = target[:, 2] - target[:, 0] + 1
+        th = target[:, 3] - target[:, 1] + 1
+        dx = tx - px
+        dy = ty - py
+        loss_dx = 1 - jnp.maximum((tw - 2 * jnp.abs(dx)) /
+                                  (tw + 2 * jnp.abs(dx) + self.eps), 0)
+        loss_dy = 1 - jnp.maximum((th - 2 * jnp.abs(dy)) /
+                                  (th + 2 * jnp.abs(dy) + self.eps), 0)
+        loss_dw = 1 - jnp.minimum(tw / (pw + self.eps), pw / (tw + self.eps))
+        loss_dh = 1 - jnp.minimum(th / (ph + self.eps), ph / (th + self.eps))
+        comb = jnp.stack([loss_dx, loss_dy, loss_dw, loss_dh], axis=-1)
+        loss = jnp.where(comb < self.beta,
+                         0.5 * comb * comb / self.beta,
+                         comb - 0.5 * self.beta)
+        if weight is not None and weight.ndim > loss.ndim:
+            weight = weight[..., 0]
+        return self.loss_weight * weight_reduce_loss(
+            loss.sum(axis=-1), weight if weight is None or weight.ndim == 1
+            else weight[:, 0], reduction, avg_factor)
+
+
+@LOSSES.register_module
 class BalancedL1Loss:
     """reference balanced_l1_loss.py:30 (Libra R-CNN)."""
 

@@ -73,8 +73,42 @@ def main():
                             dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     params = load_params_for_engine(engine, args.checkpoint)
 
+    prepad = None
+    if args.pre_padding == "random":
+        import jax.numpy as jnp_
+        import numpy as np
+        from hvrnet_tpu.engine.canvas import pad_to_canvas, pick_canvas_shape
+
+        half = (window + 1) // 2
+
+        def prepad(first_frame):
+            """Fetch half−1 random same-video frames through the pipeline
+            (hnl_test.py:pre_padding_imgs semantics)."""
+            v = dataset.cur_video_index
+            info = dataset.img_infos[v]
+            L = info["frame_seg_len"]
+            outs = []
+            for off in np.random.randint(0, L, size=half - 1):
+                finfo, _, _ = dataset._frame_info(info, int(off),
+                                                  with_ann=False)
+                r = dict(img_info=finfo)
+                dataset.pre_pipeline(r)
+                out = dataset.pipeline(r)
+                meta = out["img_meta"]
+                ch, cw = pick_canvas_shape(meta["pad_shape"][0],
+                                           meta["pad_shape"][1])
+                outs.append(dict(
+                    img=jnp_.asarray(pad_to_canvas(
+                        out["img"].astype(np.float32), (ch, cw))[None]),
+                    img_shape=np.asarray(meta["img_shape"][:2], np.float32),
+                    pad_shape=np.asarray(meta["pad_shape"][:2], np.float32),
+                    scale_factor=np.asarray(meta["scale_factor"], np.float32),
+                    frame_offset=int(off), seg_len=L,
+                    frame_start_id=info["frame_id"]))
+            return outs
+
     runner = SlidingWindowRunner(engine, params, window=window,
-                                 branch=args.branch)
+                                 branch=args.branch, prepad_provider=prepad)
     results = runner.run(test_frame_stream(dataset, rank=args.rank),
                          num_frames=len(dataset))
 
