@@ -70,7 +70,7 @@ def train_detector(engine, dataset, cfg, mesh=None, work_dir: str = "work_dir",
                    resume_from: Optional[str] = None,
                    load_from: Optional[str] = None,
                    log_interval: int = 50, max_steps_per_epoch: Optional[int] = None,
-                   seed: int = 0):
+                   seed: int = 0, eval_hook=None):
     """Epoch training loop (replaces mmcv Runner, reference apis/train.py)."""
     import jax
 
@@ -121,6 +121,10 @@ def train_detector(engine, dataset, cfg, mesh=None, work_dir: str = "work_dir",
                         meta=dict(epoch=epoch + 1))
         save_checkpoint(os.path.join(work_dir, "latest"), state,
                         meta=dict(epoch=epoch + 1))
+        if eval_hook is not None:   # DistEvalmAPHook equivalent
+            m = eval_hook(state.params, epoch)
+            if m is not None:
+                logger.info("epoch %d mAP: %.4f", epoch, m)
     return state
 
 

@@ -101,3 +101,29 @@ def train_batch_iterator(dataset, canvas_hw=(608, 1008), gt_max: int = 32,
                 batch = {k: np.stack([s[k] for s in buf]) for k in buf[0]}
                 yield batch
                 buf = []
+
+
+def prefetch_stream(gen, depth: int = 3):
+    """Background-thread prefetcher around a frame generator — overlaps host
+    decode/augment/pad with device compute (the role the reference delegates
+    to torch DataLoader workers)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    END = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+        finally:
+            q.put(END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is END:
+            break
+        yield item

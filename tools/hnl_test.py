@@ -45,7 +45,7 @@ def main():
     from hvrnet_tpu.apis import get_root_logger, load_params_for_engine
     from hvrnet_tpu.data import build_dataset
     from hvrnet_tpu.engine import SlidingWindowRunner
-    from hvrnet_tpu.engine.stream import test_frame_stream
+    from hvrnet_tpu.engine.stream import prefetch_stream, test_frame_stream
     from hvrnet_tpu.models.builder import build_detector
     from hvrnet_tpu.utils.config import Config
     from tools.test import collect_results
@@ -109,8 +109,9 @@ def main():
 
     runner = SlidingWindowRunner(engine, params, window=window,
                                  branch=args.branch, prepad_provider=prepad)
-    results = runner.run(test_frame_stream(dataset, rank=args.rank),
-                         num_frames=len(dataset))
+    results = runner.run(
+        prefetch_stream(test_frame_stream(dataset, rank=args.rank)),
+        num_frames=len(dataset))
 
     tmpdir = args.tmpdir or os.path.dirname(os.path.abspath(args.out)) or "."
     os.makedirs(tmpdir, exist_ok=True)

@@ -57,7 +57,7 @@ def main():
     from hvrnet_tpu.apis import get_root_logger, load_params_for_engine
     from hvrnet_tpu.data import build_dataset
     from hvrnet_tpu.engine import SlidingWindowRunner
-    from hvrnet_tpu.engine.stream import test_frame_stream
+    from hvrnet_tpu.engine.stream import prefetch_stream, test_frame_stream
     from hvrnet_tpu.models.builder import build_detector
     from hvrnet_tpu.utils.config import Config
 
@@ -90,8 +90,9 @@ def main():
                                  timer=timer)
     trace_ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
     with trace_ctx:
-        results = runner.run(test_frame_stream(dataset, rank=args.rank),
-                             num_frames=len(dataset))
+        results = runner.run(
+            prefetch_stream(test_frame_stream(dataset, rank=args.rank)),
+            num_frames=len(dataset))
     if timer is not None:
         print(timer.summary())
 
