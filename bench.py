@@ -61,15 +61,14 @@ def main():
     state = engine.ring_reset(int(feats["fc1"].shape[-1]))
     for _ in range(T):
         state = engine.ring_push(state, feats)
-    out = engine.ring_detect(params, state, ish, sfd)
+    state, out = engine.ring_step(params, state, feats, ish, sfd)
     jax.block_until_ready(out)
 
     n = 100
     t0 = time.perf_counter()
     for _ in range(n):
         feats = engine.frame_features(params, img, img_shape, pad_shape)
-        state = engine.ring_push(state, feats)
-        out = engine.ring_detect(params, state, ish, sfd)
+        state, out = engine.ring_step(params, state, feats, ish, sfd)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     fps = n / dt

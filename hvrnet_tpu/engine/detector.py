@@ -242,6 +242,41 @@ class _RingMixin:
         return fn(params, state, jnp.asarray(img_shape, jnp.float32),
                   jnp.asarray(scale_factor, jnp.float32))
 
+    @functools.lru_cache(maxsize=4)
+    def _ring_step_fn(self, t_dim: int, key_dim: int):
+        """Fused push + detect: one dispatch for the whole window stage."""
+        body = self._window_body(t_dim, key_dim)
+
+        def fn(params, state, feats, img_shape, scale_factor):
+            pos = (state["pos"] + 1) % t_dim
+            state = dict(
+                fc1=jax.lax.dynamic_update_slice(
+                    state["fc1"], feats["fc1"][None].astype(state["fc1"].dtype),
+                    (pos, 0, 0)),
+                boxes=jax.lax.dynamic_update_slice(
+                    state["boxes"], feats["boxes"][None], (pos, 0, 0)),
+                masks=jax.lax.dynamic_update_slice(
+                    state["masks"], feats["mask"][None], (pos, 0)),
+                pos=pos,
+                count=jnp.minimum(state["count"] + 1, t_dim))
+            shift = -(pos + 1)
+            fc1 = jnp.roll(state["fc1"], shift, axis=0)
+            boxes = jnp.roll(state["boxes"], shift, axis=0)
+            masks = jnp.roll(state["masks"], shift, axis=0)
+            out = body(params, fc1, boxes, masks, img_shape, scale_factor)
+            return state, out
+
+        return jax.jit(fn, donate_argnums=(1,))
+
+    def ring_step(self, params, state, feats, img_shape, scale_factor,
+                  key_dim: Optional[int] = None):
+        """Push a frame's caches AND detect the window center in one program."""
+        fn = self._ring_step_fn(self.window,
+                                self.key_dim if key_dim is None else key_dim)
+        return fn(params, state, feats,
+                  jnp.asarray(img_shape, jnp.float32),
+                  jnp.asarray(scale_factor, jnp.float32))
+
     # -------------------------------------------------- batched ring buffers
     def ring_reset_batched(self, batch: int, fc1_dim: int):
         T, P = self.window, self.proposal_num

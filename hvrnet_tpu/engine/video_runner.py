@@ -86,36 +86,55 @@ class SlidingWindowRunner:
         offsets: deque = deque(maxlen=T)
         meta: deque = deque(maxlen=T)
 
-        def push(feats, frame, fmeta):
+        can_fuse = self.use_ring and hasattr(self.engine, "ring_step")
+
+        def push(feats, frame, fmeta, detect: bool = False):
+            """Push a frame's caches; when ``detect`` and the window is full,
+            the push and the center detection run as ONE device program
+            (engine.ring_step)."""
             nonlocal ring_state, cache, n_cached
-            if self.use_ring:
-                ring_state = self.engine.ring_push(ring_state, feats)
-            else:
-                cache.append(feats)
             n_cached = min(n_cached + 1, T)
             offsets.append(frame["frame_offset"])
             meta.append(fmeta)
+            do_detect = detect and n_cached == T
+            if self.use_ring:
+                if do_detect and can_fuse:
+                    m = meta[self.key_dim]
+                    import contextlib
+                    ctx = (self.timer.phase("window_detect") if self.timer
+                           else contextlib.nullcontext())
+                    with ctx:
+                        ring_state, out = self.engine.ring_step(
+                            self.params, ring_state, feats, m["img_shape"],
+                            m["scale_factor"])
+                        _handle_detection(out, m)
+                    return
+                ring_state = self.engine.ring_push(ring_state, feats)
+            else:
+                cache.append(feats)
+            if do_detect:
+                detect_center()
 
         def detect_center():
             import contextlib
             ctx = (self.timer.phase("window_detect") if self.timer
                    else contextlib.nullcontext())
             with ctx:
-                _detect_center_inner()
+                m = meta[self.key_dim]
+                if self.use_ring:
+                    out = self.engine.ring_detect(self.params, ring_state,
+                                                  m["img_shape"],
+                                                  m["scale_factor"])
+                else:
+                    fc1 = jnp.stack([c["fc1"] for c in cache])
+                    boxes = jnp.stack([c["boxes"] for c in cache])
+                    masks = jnp.stack([c["mask"] for c in cache])
+                    out = self.engine.window_detect(self.params, fc1, boxes,
+                                                    masks, m["img_shape"],
+                                                    m["scale_factor"])
+                _handle_detection(out, m)
 
-        def _detect_center_inner():
-            m = meta[self.key_dim]
-            if self.use_ring:
-                out = self.engine.ring_detect(self.params, ring_state,
-                                              m["img_shape"],
-                                              m["scale_factor"])
-            else:
-                fc1 = jnp.stack([c["fc1"] for c in cache])
-                boxes = jnp.stack([c["boxes"] for c in cache])
-                masks = jnp.stack([c["mask"] for c in cache])
-                out = self.engine.window_detect(self.params, fc1, boxes,
-                                                masks, m["img_shape"],
-                                                m["scale_factor"])
+        def _handle_detection(out, m):
             if isinstance(out, list):       # HVRNet: one det set per branch
                 out = out[self.branch]
             dets, labels, mask = out
@@ -161,17 +180,14 @@ class SlidingWindowRunner:
                 while n_cached < half:
                     push(feats, frame, fmeta)
             elif flag == 2:    # interior
-                push(feats, frame, fmeta)
-                if n_cached == T:
-                    detect_center()
+                push(feats, frame, fmeta, detect=True)
             elif flag == 1:    # video end: tail-pad and drain
                 while n_cached < T - 1:
                     push(feats, frame, fmeta)
                 end_counter = 0
                 while end_counter < min(frame["seg_len"], half):
-                    push(feats, frame, fmeta)
+                    push(feats, frame, fmeta, detect=True)
                     end_counter += 1
-                    detect_center()
             else:
                 raise ValueError(f"bad key_frame_flag {flag}")
         return results
