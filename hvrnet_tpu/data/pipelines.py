@@ -290,15 +290,30 @@ class MinIoURandomCrop:
 
 
 class Corrupt:
-    """transforms.py:684 — stub (imagecorruptions is not in this image)."""
+    """transforms.py:684 — image corruption transform.
+
+    The reference uses the `imagecorruptions` package (absent in this image);
+    this implementation delegates to the in-repo numpy/cv2 corruption suite
+    (tools/test_robustness.py) covering the noise/blur/weather/digital
+    families used by the robustness benchmark."""
 
     def __init__(self, corruption: str, severity: int = 1):
         self.corruption = corruption
         self.severity = severity
 
     def __call__(self, results):
-        raise NotImplementedError(
-            "imagecorruptions backend unavailable; Corrupt is a config-parity stub")
+        import importlib
+        import os.path as _osp
+        import sys as _sys
+        root = _osp.dirname(_osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+        if root not in _sys.path:
+            _sys.path.insert(0, root)
+        corrupt = importlib.import_module("tools.test_robustness").corrupt
+        img = results["img"]
+        out = corrupt(np.clip(img, 0, 255).astype(np.uint8),
+                      self.corruption, self.severity)
+        results["img"] = out.astype(img.dtype)
+        return results
 
 
 class LoadProposals:
