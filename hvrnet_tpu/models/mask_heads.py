@@ -165,6 +165,10 @@ def mask_target(gt_masks: jnp.ndarray, rois: jnp.ndarray,
 
     gt_masks: (R, H, W) per-sampled-roi full-image binary masks.
     rois: (R, 5) with batch column indexing into gt_masks' first axis.
+
+    Note: the reference crops the inclusive pixel span then cv2-resizes;
+    RoIAlign's (+1, half-pixel) sampling can differ in the outermost bin row/
+    column (≤1/mask_size of the grid) — negligible for training targets.
     """
     masks = gt_masks[..., None].astype(jnp.float32)
     idx = jnp.arange(rois.shape[0], dtype=jnp.float32)[:, None]
