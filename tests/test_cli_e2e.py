@@ -1,0 +1,86 @@
+"""CLI end-to-end: tools/test.py + tools/vid_eval.py as subprocesses over the
+mini fixture with a tiny model config — guards the public entry points."""
+import os
+import os.path as osp
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.test_vid_dataset import mini_vid  # noqa: F401
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+TINY_CFG = '''
+model = dict(
+    type='SelsaRCNN',
+    backbone=dict(type='ResNet', depth=50, num_stages=3, strides=(1, 2, 2),
+                  dilations=(1, 1, 1), out_indices=(2,), frozen_stages=1,
+                  style='caffe', norm_eval=True),
+    shared_head=dict(type='ResLayer', depth=50, stage=3, stride=1, dilation=2,
+                     style='caffe', norm_eval=True, external_conv=True),
+    rpn_head=dict(type='RPNHead', in_channels=1024, feat_channels=64,
+                  anchor_scales=[4, 8, 16, 32], anchor_ratios=[0.5, 1.0, 2.0],
+                  anchor_strides=[16]),
+    bbox_roi_extractor=dict(
+        type='SingleRoIExtractor',
+        roi_layer=dict(type='RoIAlign', out_size=7, sample_num=2),
+        out_channels=1024, featmap_strides=[16], feat_from_shared_head=True),
+    bbox_head=dict(type='SelsaBBoxHead', sampler_num=8, t_dim=3,
+                   in_channels=256, num_classes=31, reg_class_agnostic=True))
+test_cfg = dict(
+    rpn=dict(nms_pre=200, nms_post=8, max_num=8, nms_thr=0.7, min_bbox_size=0),
+    rcnn=dict(score_thr=0.001, nms=dict(type='nms', iou_thr=0.3),
+              max_per_img=20, key_dim=1),
+    bbox_head=dict(sampler_num=8, t_dim=3, key_dim=1),
+    relation_setup=dict(shuffle=False, video_shuffle=True, has_rpn=True,
+                        frame_interval=1, frame_stride=1))
+data = dict(
+    test=dict(type='VIDSeqDataset',
+              ann_file='{root}/ImageSets/VID_val_videos.txt',
+              img_prefix='{root}',
+              pipeline=[
+                  dict(type='LoadImageFromFile'),
+                  dict(type='Resize', img_scale=(96, 64), keep_ratio=True),
+                  dict(type='RandomFlip', flip_ratio=0),
+                  dict(type='Normalize', mean=[103.06, 115.90, 123.15],
+                       std=[1.0, 1.0, 1.0], to_rgb=False),
+                  dict(type='Pad', size_divisor=16),
+                  dict(type='Collect', keys=['img'])]))
+'''
+
+
+def test_test_cli_and_vid_eval(mini_vid, tmp_path):  # noqa: F811
+    cfg_path = str(tmp_path / "tiny_cfg.py")
+    with open(cfg_path, "w") as f:
+        f.write(TINY_CFG.format(root=mini_vid))
+    out = str(tmp_path / "results.pkl")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # note: the harness sitecustomize re-forces axon via env; the tools run
+    # whatever backend is available — on CPU this still exercises the CLI.
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys; sys.argv=['test.py', %r, '--out', %r];"
+         "sys.path.insert(0, %r);"
+         "import runpy; runpy.run_path(%r, run_name='__main__')"
+         % (cfg_path, out, REPO, osp.join(REPO, "tools/test.py"))],
+        capture_output=True, timeout=900, cwd=REPO, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(out, "rb") as f:
+        results = pickle.load(f)
+    assert len(results) == 8 and all(x is not None for x in results)
+
+    r2 = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys; sys.argv=['vid_eval.py', %r, %r];"
+         "sys.path.insert(0, %r);"
+         "import runpy; runpy.run_path(%r, run_name='__main__')"
+         % (out, cfg_path, REPO, osp.join(REPO, "tools/vid_eval.py"))],
+        capture_output=True, timeout=300, cwd=REPO, text=True)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "mAP" in r2.stdout
