@@ -82,3 +82,36 @@ def test_roi_align_is_differentiable():
     g = jax.grad(loss)(feats)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_roi_align_custom_vjp_matches_autodiff():
+    """The segment_sum backward must equal plain autodiff of the gather form."""
+    import jax
+    import jax.numpy as jnp
+    from hvrnet_tpu.ops.roi_align import _sample_grid
+
+    rng = np.random.default_rng(9)
+    feats = jnp.asarray(rng.normal(size=(2, 12, 16, 5)).astype(np.float32))
+    rois = jnp.asarray([[0, 10.0, 10.0, 150.0, 120.0],
+                        [1, 40.0, 16.0, 200.0, 90.0]])
+    g = jnp.asarray(rng.normal(size=(2, 7, 7, 5)).astype(np.float32))
+
+    def forward_plain(f):
+        """Same math, no custom_vjp — XLA autodiff reference."""
+        taps_idx, taps_w, mask = _sample_grid(f.shape, rois, 7, 1 / 16.0, 2)
+        flat = f.reshape(-1, f.shape[-1])
+        val = sum(w[..., None] * flat[i.reshape(-1)].reshape(i.shape + (f.shape[-1],))
+                  for i, w in zip(taps_idx, taps_w))
+        val = val * mask[..., None]
+        return val.reshape(2, 7, 2, 7, 2, -1).mean(axis=(2, 4))
+
+    def loss_custom(f):
+        return (roi_align(f, rois, 7, 1 / 16.0, 2) * g).sum()
+
+    def loss_plain(f):
+        return (forward_plain(f) * g).sum()
+
+    g1 = jax.grad(loss_custom)(feats)
+    g2 = jax.grad(loss_plain)(feats)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
