@@ -95,9 +95,7 @@ class SingleStageEngine:
             fg = self.num_classes - 1
             for lvl, (cm, rm) in enumerate(zip(cls_maps, reg_maps)):
                 feat_hw = cm.shape[1:3]
-                anchors = self._level_anchors_cached(head_cfg_key=None,
-                                                     feat_hw=feat_hw,
-                                                     stride=strides[lvl])
+                anchors = self._level_anchors_cached(feat_hw, strides[lvl])
                 scores = jax.nn.sigmoid(
                     cm[0].reshape(-1, fg).astype(jnp.float32))
                 deltas = rm[0].reshape(-1, 4).astype(jnp.float32)
@@ -123,7 +121,7 @@ class SingleStageEngine:
 
         return jax.jit(fn)
 
-    def _level_anchors_cached(self, head_cfg_key, feat_hw, stride):
+    def _level_anchors_cached(self, feat_hw, stride):
         key = (feat_hw, stride)
         cache = getattr(self, "_anchor_cache", None)
         if cache is None:
