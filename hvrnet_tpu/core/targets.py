@@ -93,6 +93,8 @@ class SampleResult(NamedTuple):
     bbox_weights: jnp.ndarray   # (num, 4)
     valid: jnp.ndarray          # (num,) bool — False ⇒ padded slot
     pos_mask: jnp.ndarray       # (num,) bool
+    gt_inds: jnp.ndarray        # (num,) int32 assigned-gt row (0-clamped; only
+                                #   meaningful where pos_mask)
 
 
 def random_sample_and_target(rng: jax.Array,
@@ -152,7 +154,7 @@ def random_sample_and_target(rng: jax.Array,
     bbox_targets = jnp.where(pos_sel[:, None], targets, 0.0)
     bbox_weights = jnp.where(pos_sel[:, None], 1.0, 0.0)
     return SampleResult(rois, labels, label_weights, bbox_targets,
-                        bbox_weights, valid, pos_sel)
+                        bbox_weights, valid, pos_sel, gi.astype(jnp.int32))
 
 
 class AnchorTargets(NamedTuple):

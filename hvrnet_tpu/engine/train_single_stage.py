@@ -21,7 +21,7 @@ import optax
 from ..core.targets import max_iou_assign
 from ..models.losses import sigmoid_focal_loss
 from ..ops.anchors import AnchorGenerator
-from ..ops.boxes import bbox2delta
+from ..ops.boxes import bbox2delta, bbox_overlaps, delta2bbox
 from .optim import default_trainable_mask, make_optimizer, step_lr_schedule
 from .train import TrainState, _smooth_l1
 
@@ -70,6 +70,21 @@ class RetinaTrainer:
         return jnp.asarray(np.concatenate(anchors, axis=0))
 
     def make_train_step(self, canvas_h: int, canvas_w: int):
+        loss_fn = self._build_loss_fn(canvas_h, canvas_w)
+
+        def step(state, batch, rng):
+            sample = jax.tree_util.tree_map(lambda x: x[0], batch)
+            (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, sample, rng)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (TrainState(params, opt_state, state.step + 1),
+                    dict(logs, loss=loss))
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _build_loss_fn(self, canvas_h: int, canvas_w: int):
         eng = self.engine
         mod = eng.module
         anchors = self._level_anchors((canvas_h, canvas_w))
@@ -111,14 +126,115 @@ class RetinaTrainer:
             return total, dict(loss_cls=loss_cls, loss_bbox=loss_bbox,
                                num_pos=num_pos)
 
-        def step(state, batch, rng):
-            sample = jax.tree_util.tree_map(lambda x: x[0], batch)
-            (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, sample, rng)
-            updates, opt_state = self.tx.update(grads, state.opt_state,
-                                                state.params)
-            params = optax.apply_updates(state.params, updates)
-            return (TrainState(params, opt_state, state.step + 1),
-                    dict(logs, loss=loss))
+        return loss_fn
 
-        return jax.jit(step, donate_argnums=(0,))
+
+def free_anchor_loss(cls_prob, bbox_preds, anchors, gt_bboxes, gt_mask,
+                     gt_labels, num_fg_classes,
+                     target_means=(0., 0., 0., 0.),
+                     target_stds=(0.1, 0.1, 0.2, 0.2),
+                     pre_anchor_topk=50, bbox_thr=0.6, gamma=2.0, alpha=0.5,
+                     smoothl1_beta=0.11, bbox_loss_weight=0.75):
+    """FreeAnchor's detection-customized likelihood for ONE image
+    (reference `anchor_heads/free_anchor_retina_head.py:35-188`), with the
+    reference's dynamic gt lists replaced by fixed gt slots + validity masks
+    and the sparse per-class max by a `segment_max` over gt labels.
+
+    cls_prob: (A, C) sigmoid class probabilities; bbox_preds: (A, 4);
+    anchors: (A, 4); gt_labels 1-based.  Returns (positive_bag_loss_sum,
+    negative_bag_loss_sum, num_pos) — normalize across the batch as the
+    reference does (sum_pos / max(1, Σnum_pos), sum_neg / max(1, Σnum_pos·K)).
+    """
+    A = anchors.shape[0]
+    labels0 = jnp.maximum(gt_labels.astype(jnp.int32) - 1, 0)
+    gt_valid = gt_mask.astype(cls_prob.dtype)
+
+    # P{a_j → b_i}: anchor-box probability from predicted-box IoU (:73-85)
+    pred_boxes = jax.lax.stop_gradient(
+        delta2bbox(anchors, bbox_preds, target_means, target_stds))
+    obj_iou = bbox_overlaps(gt_bboxes[:, :4], pred_boxes) * gt_valid[:, None]
+    t2 = jnp.maximum(obj_iou.max(axis=1, keepdims=True), bbox_thr + 1e-12)
+    obj_box_prob = jnp.clip((obj_iou - bbox_thr) / (t2 - bbox_thr), 0.0, 1.0)
+    obj_box_prob = obj_box_prob * gt_valid[:, None]
+
+    # image_box_prob (A, C): per-class max over gts of that class (:87-123);
+    # invalid gt rows get segment id C and are dropped.
+    seg_ids = jnp.where(gt_mask, labels0, num_fg_classes)
+    image_box_prob = jax.ops.segment_max(
+        obj_box_prob, seg_ids, num_segments=num_fg_classes + 1,
+        indices_are_sorted=False)[:num_fg_classes]          # (C, A)
+    image_box_prob = jnp.maximum(image_box_prob, 0.0).T     # (A, C)
+    image_box_prob = jax.lax.stop_gradient(image_box_prob)
+
+    # bags: top-K anchors per gt by anchor IoU (:126-133)
+    anchor_iou = bbox_overlaps(gt_bboxes[:, :4], anchors)
+    anchor_iou = jnp.where(gt_mask[:, None], anchor_iou, -1.0)
+    _, matched = jax.lax.top_k(anchor_iou, pre_anchor_topk)   # (G, K)
+
+    matched_cls_prob = jnp.take_along_axis(
+        cls_prob[matched], labels0[:, None, None].repeat(pre_anchor_topk, 1),
+        axis=2)[..., 0]                                       # (G, K)
+    matched_anchors = anchors[matched]                        # (G, K, 4)
+    tgt = bbox2delta(matched_anchors.reshape(-1, 4),
+                     jnp.repeat(gt_bboxes[:, :4], pre_anchor_topk, axis=0),
+                     target_means, target_stds).reshape(matched_anchors.shape)
+    l1 = bbox_loss_weight * _smooth_l1(
+        bbox_preds[matched], tgt, smoothl1_beta).sum(-1)      # (G, K)
+    matched_box_prob = jnp.exp(-l1)
+
+    # positive bag: -alpha·log(Mean-max(P_cls · P_loc)) per gt (:170-178)
+    mp = matched_cls_prob * matched_box_prob
+    w = 1.0 / jnp.clip(1.0 - mp, 1e-12, None)
+    w = w / w.sum(axis=1, keepdims=True)
+    bag_prob = (w * mp).sum(axis=1)
+    pos_loss = -alpha * jnp.log(jnp.clip(bag_prob, 1e-12, 1.0))
+    pos_loss_sum = (pos_loss * gt_valid).sum()
+
+    # negative bag: focal-weighted BCE towards 0 (:180-188)
+    prob = cls_prob * (1.0 - image_box_prob)
+    neg = prob ** gamma * (-jnp.log(jnp.clip(1.0 - prob, 1e-12, 1.0)))
+    neg_loss_sum = (1.0 - alpha) * neg.sum()
+    return pos_loss_sum, neg_loss_sum, gt_mask.sum()
+
+
+class FreeAnchorTrainer(RetinaTrainer):
+    """FreeAnchorRetinaHead training objective on the RetinaNet plumbing."""
+
+    def _build_loss_fn(self, canvas_h: int, canvas_w: int):
+        eng = self.engine
+        mod = eng.module
+        anchors = self._level_anchors((canvas_h, canvas_w))
+        head = eng.model_cfg["bbox_head"]
+        fg = int(head.get("num_classes", 81)) - 1
+        kw = dict(
+            num_fg_classes=fg,
+            target_means=tuple(head.get("target_means", (0., 0., 0., 0.))),
+            target_stds=tuple(head.get("target_stds", (0.1, 0.1, 0.2, 0.2))),
+            pre_anchor_topk=int(head.get("pre_anchor_topk", 50)),
+            bbox_thr=float(head.get("bbox_thr", 0.6)),
+            gamma=float(head.get("gamma", 2.0)),
+            alpha=float(head.get("alpha", 0.5)),
+            smoothl1_beta=float(head.get("loss_bbox", {}).get("beta", 0.11)),
+            bbox_loss_weight=float(head.get("loss_bbox", {}).get(
+                "loss_weight", 0.75)))
+        K = kw["pre_anchor_topk"]
+
+        def loss_fn(params, sample, rng):
+            cls_maps, reg_maps = mod.apply(params, sample["imgs"])
+            cls_prob = jax.nn.sigmoid(jnp.concatenate(
+                [c[0].reshape(-1, fg) for c in cls_maps], axis=0)
+                .astype(jnp.float32))
+            deltas = jnp.concatenate(
+                [r[0].reshape(-1, 4) for r in reg_maps], axis=0
+            ).astype(jnp.float32)
+            pos_sum, neg_sum, n_pos = free_anchor_loss(
+                cls_prob, deltas, anchors, sample["gt_bboxes"][0],
+                sample["gt_mask"][0], sample["gt_labels"][0], **kw)
+            npos = jnp.maximum(n_pos.astype(jnp.float32), 1.0)
+            loss_pos = pos_sum / npos
+            loss_neg = neg_sum / (npos * K)
+            return loss_pos + loss_neg, dict(
+                positive_bag_loss=loss_pos, negative_bag_loss=loss_neg,
+                num_pos=n_pos.astype(jnp.float32))
+
+        return loss_fn

@@ -1,0 +1,166 @@
+"""Still-image two-stage / multi-stage training steps.
+
+Covers the zoo's Faster R-CNN, Mask R-CNN, and Cascade R-CNN training
+semantics (reference `mmdet/models/detectors/two_stage.py:forward_train`,
+`cascade_rcnn.py:forward_train`, `mask_rcnn.py` via `TwoStageDetector`):
+
+  * RPN loss (sigmoid CE + smooth-L1 against anchor targets) on the image.
+  * `train_cfg.rpn_proposal` proposals (no grad through the RPN maps).
+  * Per-stage MaxIoU assignment → random sampling → bbox-head CE + smooth-L1;
+    Cascade refines the sampled boxes by predicted class between stages
+    (`bbox_head.regress_by_class`) with detached deltas and re-assigns at the
+    next stage's (stricter) IoU thresholds, weighting stage losses by
+    `train_cfg.stage_loss_weights` (reference default [1, 0.5, 0.25]).
+  * Mask branch: 14×14 RoIAlign on the (positive-weighted) sampled RoIs →
+    FCN mask head → per-class BCE vs GT masks cropped to the 28×28 grid
+    (`fcn_mask_head.py:loss` + `mask_target.py`); fixed-shape with validity
+    weighting instead of the reference's dynamic positive-only gather.
+
+All shapes static: a fixed `sampler.num` RoI set per stage with validity /
+positive masks, fixed GT slots.  One image per device per step (the
+reference's imgs_per_gpu=1 operating point); scale out via the data mesh.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..core.targets import anchor_target_single, random_sample_and_target
+from ..models.losses import accuracy, softmax_cross_entropy
+from ..ops.boxes import delta2bbox
+from .detector import _rpn_proposals
+from .train import BaseTrainer, _rpn_loss, _smooth_l1
+from .train_mask import mask_branch_loss
+
+
+def _stage_cfgs(rcnn_cfg):
+    return list(rcnn_cfg) if isinstance(rcnn_cfg, (list, tuple)) else [rcnn_cfg]
+
+
+class TwoStageTrainer(BaseTrainer):
+    """Training step for MultiStageEngine detectors (Faster/Mask/Cascade)."""
+
+    def _build_loss_fn(self, canvas_h: int, canvas_w: int):
+        eng = self.engine
+        mod = eng.module
+        canvas = eng._canvas(canvas_h, canvas_w)
+        tcfg = eng.train_cfg
+        rpn_cfg = tcfg["rpn"]
+        prop_cfg = tcfg["rpn_proposal"]
+        stages = _stage_cfgs(tcfg["rcnn"])
+        n_stages = eng.num_stages
+        if len(stages) == 1 and n_stages > 1:
+            stages = stages * n_stages
+        loss_w = list(tcfg.get("stage_loss_weights", [1.0] * n_stages))
+        with_mask = eng.with_mask
+        # mask_size lives in train_cfg.rcnn (reference configs), agnosticism
+        # in the mask_head cfg
+        mask_size = int(stages[-1].get("mask_size", 28))
+        class_agnostic = bool((eng.model_cfg.get("mask_head") or {}).get(
+            "class_agnostic", False))
+
+        def loss_fn(params, sample, rng):
+            img = sample["img"]
+            if img.ndim == 3:
+                img = img[None]
+            rngs = jax.random.split(rng, n_stages + 1)
+            feats = mod.apply(params, img, method=mod.extract_feat)
+            f0 = feats[0] if isinstance(feats, (list, tuple)) else feats
+            cls_map, reg_map = mod.apply(params, f0, method=mod.rpn)
+            c5 = mod.apply(params, f0, method=mod.shared)
+
+            # --- RPN loss (rpn_head.loss via anchor_head.py:141-159)
+            tgt = anchor_target_single(
+                rngs[0], canvas.anchors,
+                canvas.anchor_valid(sample["pad_shape"]),
+                sample["gt_bboxes"], sample["gt_mask"], sample["img_shape"],
+                rpn_cfg, eng.rpn_means, eng.rpn_stds)
+            loss_rpn_cls, loss_rpn_bbox = _rpn_loss(cls_map[0], reg_map[0], tgt)
+            total = loss_rpn_cls + loss_rpn_bbox
+            logs = dict(loss_rpn_cls=loss_rpn_cls, loss_rpn_bbox=loss_rpn_bbox)
+
+            boxes, _, pmask = _rpn_proposals(
+                jax.lax.stop_gradient(cls_map[0]),
+                jax.lax.stop_gradient(reg_map[0]),
+                canvas, sample["pad_shape"], sample["img_shape"],
+                prop_cfg, eng.rpn_means, eng.rpn_stds)
+
+            last_sr = None
+            last_pooled_rois = None
+            for s in range(n_stages):
+                scfg = stages[s]
+                assigner = scfg["assigner"]
+                samp = scfg["sampler"]
+                samp = samp[0] if isinstance(samp, (list, tuple)) else samp
+                hc = eng.head_cfgs[s]
+                means = tuple(hc.get("target_means", (0., 0., 0., 0.)))
+                stds = tuple(hc.get("target_stds", (0.1, 0.1, 0.2, 0.2)))
+                sr = random_sample_and_target(
+                    rngs[1 + s], boxes, pmask,
+                    sample["gt_bboxes"], sample["gt_mask"],
+                    sample["gt_labels"],
+                    num=int(samp["num"]),
+                    pos_fraction=float(samp["pos_fraction"]),
+                    add_gt_as_proposals=bool(
+                        samp.get("add_gt_as_proposals", True)),
+                    pos_iou_thr=float(assigner["pos_iou_thr"]),
+                    neg_iou_thr=float(assigner["neg_iou_thr"]),
+                    min_pos_iou=float(assigner["min_pos_iou"]),
+                    target_means=means, target_stds=stds,
+                    pos_weight=float(scfg.get("pos_weight", -1)))
+                rois = jnp.concatenate(
+                    [jnp.zeros((sr.rois.shape[0], 1)), sr.rois], axis=1)
+                pooled = eng.roi_extractor([c5], rois)
+                cls, reg = mod.apply(params, pooled, s, method=mod.bbox_stage)
+                navg = jnp.maximum((sr.label_weights > 0).sum().astype(
+                    jnp.float32), 1.0)
+                ce = softmax_cross_entropy(cls, sr.labels)
+                lc = (ce * sr.label_weights).sum() / navg
+                if hc.get("reg_class_agnostic", False):
+                    reg_sel = reg.reshape(-1, 4)
+                else:
+                    reg_sel = jnp.take_along_axis(
+                        reg.reshape(reg.shape[0], -1, 4),
+                        jnp.maximum(sr.labels, 0)[:, None, None], axis=1)[:, 0]
+                beta = float(hc.get("loss_bbox", {}).get("beta", 1.0))
+                l1 = _smooth_l1(reg_sel, sr.bbox_targets, beta) * sr.bbox_weights
+                lb = l1.sum() / navg
+                w = float(loss_w[s]) if s < len(loss_w) else 1.0
+                total = total + w * (lc + lb)
+                suf = f"_s{s}" if n_stages > 1 else ""
+                logs[f"loss_cls{suf}"] = lc
+                logs[f"loss_bbox{suf}"] = lb
+                logs[f"acc{suf}"] = accuracy(cls, sr.labels,
+                                             mask=sr.label_weights > 0)
+                last_sr, last_pooled_rois = sr, rois
+
+                if s < n_stages - 1:
+                    # refine sampled boxes by predicted class, detached
+                    # (cascade_rcnn.py:forward_train → regress_by_class)
+                    label = jnp.argmax(cls[:, 1:], axis=1) + 1
+                    if hc.get("reg_class_agnostic", False):
+                        deltas = reg.reshape(-1, 4)
+                    else:
+                        deltas = jnp.take_along_axis(
+                            reg.reshape(reg.shape[0], -1, 4),
+                            label[:, None, None], axis=1)[:, 0]
+                    boxes = jax.lax.stop_gradient(delta2bbox(
+                        sr.rois, deltas, means, stds, sample["img_shape"]))
+                    pmask = sr.valid
+
+            if with_mask:
+                mpooled = eng.mask_roi_extractor([c5], last_pooled_rois)
+                mask_pred = mod.apply(params, mpooled, method=mod.mask)
+                gt_masks_per_roi = sample["gt_masks"][last_sr.gt_inds]
+                lm = mask_branch_loss(
+                    mask_pred.astype(jnp.float32), gt_masks_per_roi,
+                    last_pooled_rois, last_sr.labels, last_sr.pos_mask,
+                    mask_size=mask_size, class_agnostic=class_agnostic)
+                total = total + lm
+                logs["loss_mask"] = lm
+
+            return total, logs
+
+        return loss_fn
