@@ -37,10 +37,18 @@ def max_iou_assign(bboxes: jnp.ndarray, gt_bboxes: jnp.ndarray,
                    pos_iou_thr: float, neg_iou_thr: float,
                    min_pos_iou: float,
                    box_mask: Optional[jnp.ndarray] = None,
-                   gt_max_assign_all: bool = True) -> AssignResult:
-    """`assign_wrt_overlaps` with validity masks for padded gts/boxes."""
+                   gt_max_assign_all: bool = True,
+                   overlaps: Optional[jnp.ndarray] = None) -> AssignResult:
+    """`assign_wrt_overlaps` with validity masks for padded gts/boxes.
+
+    `overlaps` optionally supplies a precomputed (G, N) IoU matrix — used by
+    the approx-max-IoU assignment of guided anchoring
+    (reference approx_max_iou_assigner.py:51-115, which maxes candidate IoUs
+    over each square's approx group before the standard assignment rules).
+    """
     G = gt_bboxes.shape[0]
-    overlaps = bbox_overlaps(gt_bboxes, bboxes)               # (G, N)
+    if overlaps is None:
+        overlaps = bbox_overlaps(gt_bboxes, bboxes)           # (G, N)
     overlaps = jnp.where(gt_mask[:, None], overlaps, -1.0)
     if box_mask is not None:
         overlaps = jnp.where(box_mask[None, :], overlaps, -1.0)

@@ -76,6 +76,10 @@ class MultiStageModule(nn.Module):
     def mask(self, pooled):
         return self.mask_head_m(pooled)
 
+    def semantic(self, feats):
+        """(seg logits, fused embedding) — htc.py:55-64 fusion source."""
+        return self.semantic_head_m(feats)
+
     def __call__(self, img):
         feats = self.extract_feat(img)
         f0 = feats[0] if isinstance(feats, (list, tuple)) else feats
@@ -130,6 +134,12 @@ class MultiStageEngine:
         self.anchor_ratios = tuple(rh.get("anchor_ratios", (0.5, 1.0, 2.0)))
         self.anchor_stride = int(rh.get("anchor_strides", [16])[0])
         self.with_mask = model_cfg.get("mask_head") is not None
+        self.with_semantic = model_cfg.get("semantic_head") is not None
+        self.semantic_fusion = tuple(model_cfg.get("semantic_fusion",
+                                                   ("bbox", "mask")))
+        self.semantic_roi_extractor = (
+            build_roi_extractor(model_cfg["semantic_roi_extractor"])
+            if model_cfg.get("semantic_roi_extractor") else None)
 
     def init_params(self, rng, canvas_hw=(64, 64)):
         img = jnp.zeros((1, canvas_hw[0], canvas_hw[1], 3), jnp.float32)
@@ -139,6 +149,20 @@ class MultiStageEngine:
         from .canvas import get_canvas
         return get_canvas(h, w, self.anchor_stride, self.anchor_scales,
                           self.anchor_ratios)
+
+    def _fuse_semantic(self, pooled, emb, rois, branch):
+        """Element-wise add of pooled semantic features (htc.py:55-64,
+        86-94); the reference's adaptive_avg_pool2d resize is an integer-
+        factor avg pool at the config operating points (14 → 7)."""
+        if (emb is None or branch not in self.semantic_fusion
+                or self.semantic_roi_extractor is None):
+            return pooled
+        sem = self.semantic_roi_extractor([emb], rois)
+        if sem.shape[1:3] != pooled.shape[1:3]:
+            fh = sem.shape[1] // pooled.shape[1]
+            fw = sem.shape[2] // pooled.shape[2]
+            sem = nn.avg_pool(sem, (fh, fw), (fh, fw))
+        return pooled + sem.astype(pooled.dtype)
 
     @functools.lru_cache(maxsize=4)
     def _simple_test_fn(self, canvas_h: int, canvas_w: int):
@@ -155,6 +179,9 @@ class MultiStageEngine:
             boxes, scores, mask = _rpn_proposals(
                 cls_map[0], reg_map[0], canvas, pad_shape, img_shape, rpn_cfg,
                 self.rpn_means, self.rpn_stds)
+            emb = None
+            if self.with_semantic and isinstance(feats, (list, tuple)):
+                _, emb = mod.apply(params, feats, method=mod.semantic)
             ms_scores = []
             cur_boxes = boxes
             for stage in range(self.num_stages):
@@ -162,6 +189,7 @@ class MultiStageEngine:
                     [jnp.zeros((cur_boxes.shape[0], 1), cur_boxes.dtype),
                      cur_boxes], axis=1)
                 pooled = self.roi_extractor([c5], rois)
+                pooled = self._fuse_semantic(pooled, emb, rois, "bbox")
                 cls, reg = mod.apply(params, pooled, stage,
                                      method=mod.bbox_stage)
                 ms_scores.append(jax.nn.softmax(cls, axis=-1))
@@ -195,6 +223,7 @@ class MultiStageEngine:
                 [jnp.zeros((dets.shape[0], 1)), dets[:, :4]
                  * jnp.asarray(scale_factor, jnp.float32)[:4].mean()], axis=1)
             mpooled = self.mask_roi_extractor([c5], mask_rois)
+            mpooled = self._fuse_semantic(mpooled, emb, mask_rois, "mask")
             mask_pred = jax.nn.sigmoid(
                 mod.apply(params, mpooled, method=mod.mask))
             return dets, labels, det_mask, mask_pred

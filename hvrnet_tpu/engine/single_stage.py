@@ -90,14 +90,29 @@ class SingleStageEngine:
                                      (8, 16, 32, 64, 128)))
 
         def fn(params, img, img_shape, scale_factor):
-            cls_maps, reg_maps = mod.apply(params, img)
+            out = mod.apply(params, img)
+            if len(out) == 4:      # guided-anchoring heads (ga_retina_head)
+                cls_maps, reg_maps, shape_maps, loc_maps = out
+            else:
+                cls_maps, reg_maps = out
+                shape_maps = loc_maps = None
             all_boxes, all_scores = [], []
             fg = self.num_classes - 1
             for lvl, (cm, rm) in enumerate(zip(cls_maps, reg_maps)):
                 feat_hw = cm.shape[1:3]
-                anchors = self._level_anchors_cached(feat_hw, strides[lvl])
+                if shape_maps is None:
+                    anchors = self._level_anchors_cached(feat_hw, strides[lvl])
+                else:
+                    anchors, keep = self._guided_anchors(
+                        head_cfg, feat_hw, strides[lvl],
+                        shape_maps[lvl][0], loc_maps[lvl][0])
                 scores = jax.nn.sigmoid(
                     cm[0].reshape(-1, fg).astype(jnp.float32))
+                if shape_maps is not None:
+                    # loc-filter (get_guided_anchors_single:326-363): the
+                    # reference drops these anchors; zeroed scores die at
+                    # score_thr, which is equivalent.
+                    scores = scores * keep[:, None]
                 deltas = rm[0].reshape(-1, 4).astype(jnp.float32)
                 nms_pre = int(cfg.get("nms_pre", 1000))
                 if scores.shape[0] > nms_pre:
@@ -120,6 +135,30 @@ class SingleStageEngine:
                 float(cfg["nms"]["iou_thr"]), int(cfg["max_per_img"]))
 
         return jax.jit(fn)
+
+    def _guided_anchors(self, head_cfg, feat_hw, stride, shape_map, loc_map):
+        """Squares reshaped by the shape branch + loc-filter mask
+        (guided_anchor_head.py:271-363)."""
+        key = ("sq", feat_hw, stride)
+        cache = getattr(self, "_anchor_cache", None)
+        if cache is None:
+            cache = self._anchor_cache = {}
+        if key not in cache:
+            octave = float(head_cfg.get("octave_base_scale", 8))
+            gen = AnchorGenerator(stride, (octave,), (1.0,))
+            cache[key] = jnp.asarray(gen.grid_anchors(feat_hw, stride))
+        squares = cache[key]
+        shape = shape_map.reshape(-1, 2).astype(jnp.float32)
+        deltas = jnp.concatenate([jnp.zeros_like(shape), shape], axis=1)
+        anchors = delta2bbox(
+            squares, deltas,
+            tuple(head_cfg.get("anchoring_means", (0., 0., 0., 0.))),
+            tuple(head_cfg.get("anchoring_stds", (1., 1., 1., 1.))),
+            wh_ratio_clip=1e-6)
+        thr = float(head_cfg.get("loc_filter_thr", 0.01))
+        keep = (jax.nn.sigmoid(loc_map.reshape(-1).astype(jnp.float32))
+                >= thr).astype(jnp.float32)
+        return anchors, keep
 
     def _level_anchors_cached(self, feat_hw, stride):
         key = (feat_hw, stride)

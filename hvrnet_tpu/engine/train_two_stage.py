@@ -71,6 +71,25 @@ class TwoStageTrainer(BaseTrainer):
             cls_map, reg_map = mod.apply(params, f0, method=mod.rpn)
             c5 = mod.apply(params, f0, method=mod.shared)
 
+            # HTC semantic branch (htc.py:224-231 + fused_semantic_head.loss)
+            emb = None
+            loss_seg = None
+            if getattr(eng, "with_semantic", False) and isinstance(
+                    feats, (list, tuple)):
+                seg, emb = mod.apply(params, feats, method=mod.semantic)
+                if "gt_semantic_seg" in sample:
+                    sem_cfg = eng.model_cfg.get("semantic_head") or {}
+                    ignore = int(sem_cfg.get("ignore_label", 255))
+                    lw_seg = float(sem_cfg.get("loss_weight", 0.2))
+                    gt_seg = sample["gt_semantic_seg"].astype(jnp.int32)
+                    logits = seg[0].astype(jnp.float32)
+                    ce = softmax_cross_entropy(
+                        logits.reshape(-1, logits.shape[-1]),
+                        jnp.clip(gt_seg.reshape(-1), 0, None))
+                    vmask = (gt_seg.reshape(-1) != ignore).astype(jnp.float32)
+                    loss_seg = lw_seg * (ce * vmask).sum() / jnp.maximum(
+                        vmask.sum(), 1.0)
+
             # --- RPN loss (rpn_head.loss via anchor_head.py:141-159)
             tgt = anchor_target_single(
                 rngs[0], canvas.anchors,
@@ -113,6 +132,7 @@ class TwoStageTrainer(BaseTrainer):
                 rois = jnp.concatenate(
                     [jnp.zeros((sr.rois.shape[0], 1)), sr.rois], axis=1)
                 pooled = eng.roi_extractor([c5], rois)
+                pooled = eng._fuse_semantic(pooled, emb, rois, "bbox")
                 cls, reg = mod.apply(params, pooled, s, method=mod.bbox_stage)
                 navg = jnp.maximum((sr.label_weights > 0).sum().astype(
                     jnp.float32), 1.0)
@@ -150,8 +170,14 @@ class TwoStageTrainer(BaseTrainer):
                         sr.rois, deltas, means, stds, sample["img_shape"]))
                     pmask = sr.valid
 
+            if loss_seg is not None:
+                total = total + loss_seg
+                logs["loss_semantic_seg"] = loss_seg
+
             if with_mask:
                 mpooled = eng.mask_roi_extractor([c5], last_pooled_rois)
+                mpooled = eng._fuse_semantic(mpooled, emb,
+                                             last_pooled_rois, "mask")
                 mask_pred = mod.apply(params, mpooled, method=mod.mask)
                 gt_masks_per_roi = sample["gt_masks"][last_sr.gt_inds]
                 lm = mask_branch_loss(

@@ -82,9 +82,91 @@ class FreeAnchorRetinaHead(RetinaHead):
 
 
 @HEADS.register_module
-class GARetinaHead(RetinaHead):
-    """ga_retina_head.py parity stub: plain retina network (guided-anchoring
-    mask branch pending — requires MaskedConv, see ops/masked_conv)."""
+class GARetinaHead(nn.Module):
+    """Guided-Anchor RetinaNet head (reference ga_retina_head.py:11-120):
+    stacked cls/reg towers, a location branch off the cls tower, a shape
+    branch off the reg tower, per-branch feature adaption (1×1 offset conv on
+    the detached shape pred → 3×3 deformable conv), then 3×3 cls/reg convs.
+
+    The reference's MaskedConv2d loc-filter only skips computation at
+    inference (mask=None during training); dense conv + downstream loc
+    thresholding is the XLA-friendly equivalent, so the outputs match.
+    """
+    num_classes: int = 81
+    in_channels: int = 256
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    octave_base_scale: int = 8
+    scales_per_octave: int = 3
+    octave_ratios: Sequence[float] = (0.5, 1.0, 2.0)
+    anchor_strides: Sequence[int] = (8, 16, 32, 64, 128)
+    anchoring_means: Sequence[float] = (0., 0., 0., 0.)
+    anchoring_stds: Sequence[float] = (1., 1., 1., 1.)
+    target_means: Sequence[float] = (0., 0., 0., 0.)
+    target_stds: Sequence[float] = (1., 1., 1., 1.)
+    deformable_groups: int = 4
+    loc_filter_thr: float = 0.01
+    loss_loc: Any = None
+    loss_shape: Any = None
+    loss_cls: Any = None
+    loss_bbox: Any = None
+    dtype: Any = jnp.float32
+
+    @property
+    def cls_out_channels(self):
+        return self.num_classes - 1   # sigmoid focal loss
+
+    @nn.compact
+    def __call__(self, feats):
+        from ...ops.deform import deform_conv2d
+        init = normal_init(0.01)
+        cls_convs = [Conv(self.feat_channels, (3, 3), padding=1,
+                          dtype=self.dtype, kernel_init=init,
+                          name=f"cls_conv{i}")
+                     for i in range(self.stacked_convs)]
+        reg_convs = [Conv(self.feat_channels, (3, 3), padding=1,
+                          dtype=self.dtype, kernel_init=init,
+                          name=f"reg_conv{i}")
+                     for i in range(self.stacked_convs)]
+        conv_loc = Conv(1, (1, 1), dtype=self.dtype, kernel_init=init,
+                        bias_init=_bias_prior(), name="conv_loc")
+        conv_shape = Conv(2, (1, 1), dtype=self.dtype, kernel_init=init,
+                          name="conv_shape")
+        adapt = {}
+        for br in ("cls", "reg"):
+            adapt[br] = (
+                Conv(2 * 9, (1, 1), use_bias=False, dtype=self.dtype,
+                     kernel_init=nn.initializers.zeros,
+                     name=f"feature_adaption_{br}_offset"),
+                self.param(f"feature_adaption_{br}_kernel", init,
+                           (3, 3, self.feat_channels, self.feat_channels),
+                           jnp.float32))
+        retina_cls = Conv(self.cls_out_channels, (3, 3), padding=1,
+                          dtype=self.dtype, kernel_init=init,
+                          bias_init=_bias_prior(), name="retina_cls")
+        retina_reg = Conv(4, (3, 3), padding=1, dtype=self.dtype,
+                          kernel_init=init, name="retina_reg")
+        outs = ([], [], [], [])
+        for feat in feats:
+            c = r = feat
+            for conv in cls_convs:
+                c = nn.relu(conv(c))
+            for conv in reg_convs:
+                r = nn.relu(conv(r))
+            loc = conv_loc(c)
+            shape = conv_shape(r)
+            sd = jax.lax.stop_gradient(shape)
+            oc, kc = adapt["cls"]
+            c = nn.relu(deform_conv2d(c, oc(sd), kc.astype(self.dtype),
+                                      kernel_size=3, padding=1))
+            orr, kr = adapt["reg"]
+            r = nn.relu(deform_conv2d(r, orr(sd), kr.astype(self.dtype),
+                                      kernel_size=3, padding=1))
+            outs[0].append(retina_cls(c))
+            outs[1].append(retina_reg(r))
+            outs[2].append(shape)
+            outs[3].append(loc)
+        return tuple(tuple(o) for o in outs)
 
 
 @HEADS.register_module
