@@ -86,6 +86,9 @@ class SingleStageEngine:
                                     nms=dict(type="nms", iou_thr=0.5),
                                     max_per_img=100, nms_pre=1000)
         head_cfg = self.model_cfg["bbox_head"]
+        head_type = str(head_cfg.get("type", ""))
+        if head_type in ("FCOSHead", "FoveaHead"):
+            return self._point_test_fn(cfg, head_cfg, head_type)
         strides = tuple(head_cfg.get("anchor_strides",
                                      (8, 16, 32, 64, 128)))
 
@@ -130,6 +133,80 @@ class SingleStageEngine:
             # sigmoid heads have no bg column: prepend zeros (anchor_head.py:323-326)
             scores = jnp.concatenate(
                 [jnp.zeros((scores.shape[0], 1), scores.dtype), scores], axis=1)
+            return multiclass_nms_static(
+                boxes, scores, float(cfg["score_thr"]),
+                float(cfg["nms"]["iou_thr"]), int(cfg["max_per_img"]))
+
+        return jax.jit(fn)
+
+    def _point_test_fn(self, cfg, head_cfg, head_type):
+        """Anchor-free decode paths.
+
+        FCOS (fcos_head.py get_bboxes_single): boxes = point ± exp'd
+        distances, scores = sigmoid(cls) · sigmoid(centerness).
+        Fovea (fovea_head.py:340-387): boxes = stride·(i+0.5) ∓
+        base_len·exp(reg), plain sigmoid scores.
+        """
+        mod = self.module
+        strides = tuple(head_cfg.get("strides", (4, 8, 16, 32, 64)))
+        base_lens = tuple(head_cfg.get("base_edge_list",
+                                       (16, 32, 64, 128, 256)))
+        fg = self.num_classes - 1
+
+        def level_points(feat_hw, stride, half_px: bool):
+            fh, fw = feat_hw
+            if half_px:   # fovea: (i + 0.5) · stride
+                xs = (np.arange(fw, dtype=np.float32) + 0.5) * stride
+                ys = (np.arange(fh, dtype=np.float32) + 0.5) * stride
+            else:         # fcos: i · stride + stride // 2
+                xs = np.arange(fw, dtype=np.float32) * stride + stride // 2
+                ys = np.arange(fh, dtype=np.float32) * stride + stride // 2
+            xx, yy = np.meshgrid(xs, ys)
+            return jnp.asarray(np.stack([xx.reshape(-1), yy.reshape(-1)], -1))
+
+        def fn(params, img, img_shape, scale_factor):
+            out = mod.apply(params, img)
+            all_boxes, all_scores = [], []
+            for lvl in range(len(out[0])):
+                cm = out[0][lvl]
+                rm = out[1][lvl]
+                feat_hw = cm.shape[1:3]
+                scores = jax.nn.sigmoid(
+                    cm[0].reshape(-1, fg).astype(jnp.float32))
+                reg = rm[0].reshape(-1, 4).astype(jnp.float32)
+                if head_type == "FCOSHead":
+                    pts = level_points(feat_hw, strides[lvl], half_px=False)
+                    ctr = jax.nn.sigmoid(
+                        out[2][lvl][0].reshape(-1).astype(jnp.float32))
+                    scores = scores * ctr[:, None]
+                    d = reg * strides[lvl]
+                    boxes = jnp.stack(
+                        [pts[:, 0] - d[:, 0], pts[:, 1] - d[:, 1],
+                         pts[:, 0] + d[:, 2], pts[:, 1] + d[:, 3]], axis=-1)
+                else:
+                    pts = level_points(feat_hw, strides[lvl], half_px=True)
+                    d = jnp.exp(reg) * base_lens[lvl]
+                    boxes = jnp.stack(
+                        [pts[:, 0] - d[:, 0], pts[:, 1] - d[:, 1],
+                         pts[:, 0] + d[:, 2], pts[:, 1] + d[:, 3]], axis=-1)
+                boxes = jnp.clip(
+                    boxes,
+                    jnp.zeros(4, jnp.float32),
+                    jnp.stack([img_shape[1] - 1, img_shape[0] - 1,
+                               img_shape[1] - 1, img_shape[0] - 1]))
+                nms_pre = int(cfg.get("nms_pre", 1000))
+                if scores.shape[0] > nms_pre:
+                    _, idx = jax.lax.top_k(scores.max(axis=1), nms_pre)
+                    scores = scores[idx]
+                    boxes = boxes[idx]
+                all_boxes.append(boxes)
+                all_scores.append(scores)
+            boxes = jnp.concatenate(all_boxes, axis=0) / jnp.asarray(
+                scale_factor, jnp.float32)[:4].mean()
+            scores = jnp.concatenate(all_scores, axis=0)
+            scores = jnp.concatenate(
+                [jnp.zeros((scores.shape[0], 1), scores.dtype), scores],
+                axis=1)
             return multiclass_nms_static(
                 boxes, scores, float(cfg["score_thr"]),
                 float(cfg["nms"]["iou_thr"]), int(cfg["max_per_img"]))

@@ -78,6 +78,47 @@ def fcos_targets(points, level_idx, regress_ranges, gt_bboxes, gt_mask,
     return labels, tgt, centerness, pos
 
 
+def fovea_level_targets(gt_bboxes, gt_mask, gt_labels, feat_hw, stride,
+                        base_len, lower, upper, sigma=0.4):
+    """FoveaBox per-level targets for one image (reference
+    fovea_head.py:254-312): gts scale-assigned by sqrt-area to the level
+    paint their shrunk (σ) fovea region; where regions overlap the
+    smallest-area gt wins (the reference paints in descending-area order).
+    Returns (labels (h·w,), log-space ltrb targets (h·w, 4), pos (h·w,)).
+    """
+    h, w = feat_hw
+    xx, yy = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                          jnp.arange(h, dtype=jnp.float32))
+    areas = jnp.sqrt((gt_bboxes[:, 2] - gt_bboxes[:, 0])
+                     * (gt_bboxes[:, 3] - gt_bboxes[:, 1]))
+    hit = (areas >= lower) & (areas <= upper) & gt_mask
+    gs = gt_bboxes / stride
+    half_w = 0.5 * (gs[:, 2] - gs[:, 0])
+    half_h = 0.5 * (gs[:, 3] - gs[:, 1])
+    px1 = jnp.clip(jnp.ceil(gs[:, 0] + (1 - sigma) * half_w - 0.5), 0, w - 1)
+    px2 = jnp.clip(jnp.floor(gs[:, 0] + (1 + sigma) * half_w - 0.5), 0, w - 1)
+    py1 = jnp.clip(jnp.ceil(gs[:, 1] + (1 - sigma) * half_h - 0.5), 0, h - 1)
+    py2 = jnp.clip(jnp.floor(gs[:, 1] + (1 + sigma) * half_h - 0.5), 0, h - 1)
+    cover = ((xx[None] >= px1[:, None, None]) & (xx[None] <= px2[:, None, None])
+             & (yy[None] >= py1[:, None, None]) & (yy[None] <= py2[:, None, None])
+             & hit[:, None, None])                              # (G, h, w)
+    pri = jnp.where(cover, areas[:, None, None], INF)
+    winner = pri.argmin(axis=0)                                 # (h, w)
+    pos = cover.any(axis=0)
+    labels = jnp.where(pos, gt_labels[winner], 0).reshape(-1)
+    gt_w = gt_bboxes[winner]                                    # (h, w, 4)
+    # points are (i + 0.5) in feature coords (get_points:172-184)
+    sx = stride * (xx + 0.5)
+    sy = stride * (yy + 0.5)
+    t = jnp.stack([(sx - gt_w[..., 0]) / base_len,
+                   (sy - gt_w[..., 1]) / base_len,
+                   (gt_w[..., 2] - sx) / base_len,
+                   (gt_w[..., 3] - sy) / base_len], axis=-1)
+    t = jnp.log(jnp.clip(t, 1.0 / 16, 16.0))
+    t = jnp.where(pos[..., None], t, 0.0)                       # log(1) = 0
+    return labels, t.reshape(-1, 4), pos.reshape(-1)
+
+
 class FCOSTrainer:
     def __init__(self, engine, cfg: Dict[str, Any], mesh=None,
                  steps_per_epoch: int = 1000):
@@ -158,6 +199,75 @@ class FCOSTrainer:
             total = loss_cls + loss_reg + loss_ctr
             return total, dict(loss_cls=loss_cls, loss_bbox=loss_reg,
                                loss_centerness=loss_ctr, num_pos=num_pos)
+
+        def step(state, batch, rng):
+            sample = jax.tree_util.tree_map(lambda x: x[0], batch)
+            (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, sample, rng)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (TrainState(params, opt_state, state.step + 1),
+                    dict(logs, loss=loss))
+
+        return jax.jit(step, donate_argnums=(0,))
+
+class FoveaTrainer:
+    """FoveaBox training step (fovea_head.py:186-231): focal cls over all
+    points (averaged by #pos + #imgs), SmoothL1 on the log-space ltrb at
+    positives."""
+
+    def __init__(self, engine, cfg: Dict[str, Any], mesh=None,
+                 steps_per_epoch: int = 1000):
+        FCOSTrainer.__init__(self, engine, cfg, mesh, steps_per_epoch)
+
+    create_state = FCOSTrainer.create_state
+
+    def make_train_step(self, canvas_h: int, canvas_w: int):
+        eng = self.engine
+        mod = eng.module
+        head = eng.model_cfg["bbox_head"]
+        strides = tuple(head.get("strides", (4, 8, 16, 32, 64)))
+        base_lens = tuple(head.get("base_edge_list", (16, 32, 64, 128, 256)))
+        ranges = tuple(tuple(r) for r in head.get(
+            "scale_ranges", ((8, 32), (16, 64), (32, 128), (64, 256),
+                             (128, 512))))
+        sigma = float(head.get("sigma", 0.4))
+        fg = int(head.get("num_classes", 81)) - 1
+        beta = float((head.get("loss_bbox") or {}).get("beta", 0.11))
+        bbox_w = float((head.get("loss_bbox") or {}).get("loss_weight", 0.1))
+
+        def loss_fn(params, sample, rng):
+            cls_maps, reg_maps = mod.apply(params, sample["imgs"])
+            lbl_parts, tgt_parts, pos_parts, logit_parts, reg_parts = (
+                [], [], [], [], [])
+            for lvl, (cm, rm) in enumerate(zip(cls_maps, reg_maps)):
+                labels, tgt, pos = fovea_level_targets(
+                    sample["gt_bboxes"][0], sample["gt_mask"][0],
+                    sample["gt_labels"][0], cm.shape[1:3], strides[lvl],
+                    base_lens[lvl], ranges[lvl][0], ranges[lvl][1], sigma)
+                lbl_parts.append(labels)
+                tgt_parts.append(tgt)
+                pos_parts.append(pos)
+                logit_parts.append(cm[0].reshape(-1, fg).astype(jnp.float32))
+                reg_parts.append(rm[0].reshape(-1, 4).astype(jnp.float32))
+            labels = jnp.concatenate(lbl_parts)
+            tgt = jnp.concatenate(tgt_parts)
+            pos = jnp.concatenate(pos_parts)
+            logits = jnp.concatenate(logit_parts)
+            regs = jnp.concatenate(reg_parts)
+            num_pos = pos.sum().astype(jnp.float32)
+
+            fl = sigmoid_focal_loss(logits, labels)
+            loss_cls = fl.sum() / (num_pos + 1.0)      # + num_imgs (=1)
+            diff = jnp.abs(regs - tgt)
+            l1 = jnp.where(diff < beta, 0.5 * diff * diff / beta,
+                           diff - 0.5 * beta).sum(-1)
+            loss_bbox = bbox_w * (l1 * pos.astype(jnp.float32)).sum() \
+                / jnp.maximum(num_pos, 1.0)
+            total = loss_cls + loss_bbox
+            return total, dict(loss_cls=loss_cls, loss_bbox=loss_bbox,
+                               num_pos=num_pos)
 
         def step(state, batch, rng):
             sample = jax.tree_util.tree_map(lambda x: x[0], batch)

@@ -256,9 +256,48 @@ class FCOSHead(nn.Module):
 
 
 @HEADS.register_module
-class FoveaHead(FCOSHead):
-    """fovea_head.py parity: same tower topology (fovea target assignment is
-    a training-path variant)."""
+class FoveaHead(nn.Module):
+    """fovea_head.py:44-170 — plain cls/reg conv towers, no centerness; the
+    regression output stays in log space (exp'd at decode, log targets in
+    the loss)."""
+    num_classes: int = 81
+    in_channels: int = 256
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    strides: Sequence[int] = (4, 8, 16, 32, 64)
+    base_edge_list: Sequence[int] = (16, 32, 64, 128, 256)
+    scale_ranges: Any = ((8, 32), (16, 64), (32, 128), (64, 256), (128, 512))
+    sigma: float = 0.4
+    loss_cls: Any = None
+    loss_bbox: Any = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        init = normal_init(0.01)
+        cls_tower = [Conv(self.feat_channels, (3, 3), padding=1,
+                          dtype=self.dtype, kernel_init=init,
+                          name=f"cls_conv{i}")
+                     for i in range(self.stacked_convs)]
+        reg_tower = [Conv(self.feat_channels, (3, 3), padding=1,
+                          dtype=self.dtype, kernel_init=init,
+                          name=f"reg_conv{i}")
+                     for i in range(self.stacked_convs)]
+        fovea_cls = Conv(self.num_classes - 1, (3, 3), padding=1,
+                         dtype=self.dtype, kernel_init=init,
+                         bias_init=_bias_prior(), name="fovea_cls")
+        fovea_reg = Conv(4, (3, 3), padding=1, dtype=self.dtype,
+                         kernel_init=init, name="fovea_reg")
+        cls_outs, reg_outs = [], []
+        for feat in feats:
+            c = r = feat
+            for conv in cls_tower:
+                c = nn.relu(conv(c))
+            for conv in reg_tower:
+                r = nn.relu(conv(r))
+            cls_outs.append(fovea_cls(c))
+            reg_outs.append(fovea_reg(r))
+        return tuple(cls_outs), tuple(reg_outs)
 
 
 @HEADS.register_module
