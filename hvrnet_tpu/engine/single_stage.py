@@ -87,7 +87,7 @@ class SingleStageEngine:
                                     max_per_img=100, nms_pre=1000)
         head_cfg = self.model_cfg["bbox_head"]
         head_type = str(head_cfg.get("type", ""))
-        if head_type in ("FCOSHead", "FoveaHead"):
+        if head_type in ("FCOSHead", "FoveaHead", "RepPointsHead"):
             return self._point_test_fn(cfg, head_cfg, head_type)
         strides = tuple(head_cfg.get("anchor_strides",
                                      (8, 16, 32, 64, 128)))
@@ -146,11 +146,19 @@ class SingleStageEngine:
         distances, scores = sigmoid(cls) · sigmoid(centerness).
         Fovea (fovea_head.py:340-387): boxes = stride·(i+0.5) ∓
         base_len·exp(reg), plain sigmoid scores.
+        RepPoints (reppoints_head.py:542-596): boxes =
+        points2bbox(refine offsets)·stride + point, sigmoid scores.
         """
         mod = self.module
-        strides = tuple(head_cfg.get("strides", (4, 8, 16, 32, 64)))
+        if head_type == "RepPointsHead":
+            strides = tuple(head_cfg.get("point_strides",
+                                         (8, 16, 32, 64, 128)))
+        else:
+            strides = tuple(head_cfg.get("strides", (4, 8, 16, 32, 64)))
         base_lens = tuple(head_cfg.get("base_edge_list",
                                        (16, 32, 64, 128, 256)))
+        rp_method = str(head_cfg.get("transform_method", "moment"))
+        rp_mul = float(head_cfg.get("moment_mul", 0.01))
         fg = self.num_classes - 1
 
         def level_points(feat_hw, stride, half_px: bool):
@@ -173,7 +181,8 @@ class SingleStageEngine:
                 feat_hw = cm.shape[1:3]
                 scores = jax.nn.sigmoid(
                     cm[0].reshape(-1, fg).astype(jnp.float32))
-                reg = rm[0].reshape(-1, 4).astype(jnp.float32)
+                if head_type != "RepPointsHead":
+                    reg = rm[0].reshape(-1, 4).astype(jnp.float32)
                 if head_type == "FCOSHead":
                     pts = level_points(feat_hw, strides[lvl], half_px=False)
                     ctr = jax.nn.sigmoid(
@@ -183,6 +192,23 @@ class SingleStageEngine:
                     boxes = jnp.stack(
                         [pts[:, 0] - d[:, 0], pts[:, 1] - d[:, 1],
                          pts[:, 0] + d[:, 2], pts[:, 1] + d[:, 3]], axis=-1)
+                elif head_type == "RepPointsHead":
+                    from .train_reppoints import points2bbox
+                    fh, fw = feat_hw
+                    xs = np.arange(fw, dtype=np.float32) * strides[lvl]
+                    ys = np.arange(fh, dtype=np.float32) * strides[lvl]
+                    gx, gy = np.meshgrid(xs, ys)
+                    pts = jnp.asarray(
+                        np.stack([gx.reshape(-1), gy.reshape(-1)], -1))
+                    off = out[2][lvl][0].reshape(
+                        fh * fw, -1, 2).astype(jnp.float32)
+                    xy = jnp.stack([off[..., 1], off[..., 0]], -1)  # y-first
+                    mt = (params["params"]["bbox_head"].get("moment_transfer")
+                          if rp_method == "moment" else None)
+                    b = points2bbox(
+                        xy.reshape(fh * fw, -1), rp_method, mt, rp_mul)
+                    boxes = b * strides[lvl] + jnp.concatenate(
+                        [pts, pts], axis=1)
                 else:
                     pts = level_points(feat_hw, strides[lvl], half_px=True)
                     d = jnp.exp(reg) * base_lens[lvl]

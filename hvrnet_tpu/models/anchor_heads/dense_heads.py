@@ -312,6 +312,12 @@ class RepPointsHead(nn.Module):
     stacked_convs: int = 3
     num_points: int = 9
     point_strides: Sequence[int] = (8, 16, 32, 64, 128)
+    point_base_scale: int = 4
+    transform_method: str = "moment"
+    moment_mul: float = 0.01
+    loss_cls: Any = None
+    loss_bbox_init: Any = None
+    loss_bbox_refine: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -319,6 +325,11 @@ class RepPointsHead(nn.Module):
         from ...ops.deform import deform_conv2d
         init = normal_init(0.01)
         k = int(np.sqrt(self.num_points))
+        if self.transform_method == "moment":
+            # learnable log half-extent scaling (reppoints_head.py:93-97);
+            # consumed by points2bbox in the trainer / decode paths
+            self.param("moment_transfer", nn.initializers.zeros, (2,),
+                       jnp.float32)
         cls_convs = [Conv(self.feat_channels, (3, 3), padding=1,
                           dtype=self.dtype, kernel_init=init,
                           name=f"cls_conv{i}")
