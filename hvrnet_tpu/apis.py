@@ -60,8 +60,33 @@ def load_params_for_engine(engine, path: str, rng=None):
 
 
 def build_trainer(engine, cfg, mesh=None, steps_per_epoch: int = 1000):
+    """Pick the trainer for the detector type (reference: every detector's
+    forward_train; here one trainer class per objective family)."""
     det_type = engine.model_cfg["type"]
-    cls = HNMBTrainer if det_type in ("HNMBRCNN", "HNLRCNN") else SelsaTrainer
+    head_type = str((engine.model_cfg.get("bbox_head") or {}).get("type", "")
+                    ) if not isinstance(engine.model_cfg.get("bbox_head"),
+                                        (list, tuple)) else ""
+    if det_type in ("HNMBRCNN", "HNLRCNN"):
+        cls = HNMBTrainer
+    elif det_type in ("SelsaRCNN",):
+        cls = SelsaTrainer
+    elif det_type in ("CascadeRCNN", "HybridTaskCascade", "MaskRCNN",
+                      "MaskScoringRCNN", "GridRCNN", "DoubleHeadRCNN"):
+        from .engine.train_two_stage import TwoStageTrainer
+        cls = TwoStageTrainer
+    elif det_type in ("RetinaNet", "SingleStageDetector", "FCOS", "FOVEA",
+                      "RepPointsDetector"):
+        from .engine.train_fcos import FCOSTrainer, FoveaTrainer
+        from .engine.train_guided_anchor import GATrainer
+        from .engine.train_reppoints import RepPointsTrainer
+        from .engine.train_single_stage import (FreeAnchorTrainer,
+                                                RetinaTrainer)
+        cls = {"FCOSHead": FCOSTrainer, "FoveaHead": FoveaTrainer,
+               "RepPointsHead": RepPointsTrainer,
+               "FreeAnchorRetinaHead": FreeAnchorTrainer,
+               "GARetinaHead": GATrainer}.get(head_type, RetinaTrainer)
+    else:
+        cls = SelsaTrainer
     return cls(engine, cfg, mesh=mesh, steps_per_epoch=steps_per_epoch)
 
 

@@ -21,7 +21,8 @@ def free_anchor_np(cls_prob, deltas, anchors, gts, labels0, K, t1, gamma,
     G = gts.shape[0]
     pred = np.asarray(delta2bbox(jnp.asarray(anchors), jnp.asarray(deltas),
                                  (0., 0., 0., 0.), (0.1, 0.1, 0.2, 0.2)))
-    iou = np.asarray(bbox_overlaps(jnp.asarray(gts), jnp.asarray(pred)))
+    iou = np.asarray(bbox_overlaps(jnp.asarray(gts), jnp.asarray(pred)),
+                     dtype=np.float64)
     t2 = np.maximum(iou.max(axis=1, keepdims=True), t1 + 1e-9)
     obp = np.clip((iou - t1) / (t2 - t1), 0, 1)
     image_box_prob = np.zeros((anchors.shape[0], C), np.float64)
