@@ -52,8 +52,14 @@ class MultiStageModule(nn.Module):
                                              f"bbox_head{i}")
                              for i, h in enumerate(heads)]
         if self.mask_head is not None:
-            self.mask_head_m = build_submodule(self.mask_head, HEADS,
-                                               self.dtype, "mask_head")
+            if isinstance(self.mask_head, (list, tuple)):
+                # per-stage mask heads (HTC): mask_head0, mask_head1, ...
+                self.mask_heads_m = [
+                    build_submodule(m, HEADS, self.dtype, f"mask_head{i}")
+                    for i, m in enumerate(self.mask_head)]
+            else:
+                self.mask_head_m = build_submodule(self.mask_head, HEADS,
+                                                   self.dtype, "mask_head")
         if self.semantic_head is not None:
             self.semantic_head_m = build_submodule(self.semantic_head, HEADS,
                                                    self.dtype, "semantic_head")
@@ -76,6 +82,17 @@ class MultiStageModule(nn.Module):
     def mask(self, pooled):
         return self.mask_head_m(pooled)
 
+    def mask_stage(self, pooled, stage: int, mask_info_flow: bool = True):
+        """HTC per-stage mask forward with info flow (htc.py:97-104,
+        142-150): replay heads 0..stage-1 trunk-only on THIS stage's pooled
+        features to build last_feat, then run head `stage`."""
+        last_feat = None
+        if mask_info_flow:
+            for j in range(stage):
+                last_feat = self.mask_heads_m[j](
+                    pooled, last_feat, return_logits=False)
+        return self.mask_heads_m[stage](pooled, last_feat)
+
     def semantic(self, feats):
         """(seg logits, fused embedding) — htc.py:55-64 fusion source."""
         return self.semantic_head_m(feats)
@@ -90,7 +107,11 @@ class MultiStageModule(nn.Module):
                 for i in range(len(self.bbox_heads_m))]
         if self.mask_head is not None:
             mp = jnp.zeros((4, 14, 14, c5.shape[-1]), self.dtype)
-            self.mask(mp)
+            if isinstance(self.mask_head, (list, tuple)):
+                for i in range(len(self.mask_head)):
+                    self.mask_stage(mp, i)
+            else:
+                self.mask(mp)
         if self.semantic_head is not None and isinstance(feats, (list, tuple)):
             self.semantic_head_m(feats)
         return rpn_out, outs
@@ -134,6 +155,9 @@ class MultiStageEngine:
         self.anchor_ratios = tuple(rh.get("anchor_ratios", (0.5, 1.0, 2.0)))
         self.anchor_stride = int(rh.get("anchor_strides", [16])[0])
         self.with_mask = model_cfg.get("mask_head") is not None
+        mh = model_cfg.get("mask_head")
+        self.num_mask_stages = (len(mh) if isinstance(mh, (list, tuple))
+                                else (1 if mh else 0))
         self.with_semantic = model_cfg.get("semantic_head") is not None
         self.semantic_fusion = tuple(model_cfg.get("semantic_fusion",
                                                    ("bbox", "mask")))
@@ -224,8 +248,15 @@ class MultiStageEngine:
                  * jnp.asarray(scale_factor, jnp.float32)[:4].mean()], axis=1)
             mpooled = self.mask_roi_extractor([c5], mask_rois)
             mpooled = self._fuse_semantic(mpooled, emb, mask_rois, "mask")
-            mask_pred = jax.nn.sigmoid(
-                mod.apply(params, mpooled, method=mod.mask))
+            if self.num_mask_stages > 1:
+                # per-stage preds averaged (htc.py:185-200 + merge_aug_masks)
+                preds = [jax.nn.sigmoid(mod.apply(
+                    params, mpooled, s, method=mod.mask_stage))
+                    for s in range(self.num_mask_stages)]
+                mask_pred = sum(preds) / len(preds)
+            else:
+                mask_pred = jax.nn.sigmoid(
+                    mod.apply(params, mpooled, method=mod.mask))
             return dets, labels, det_mask, mask_pred
 
         return jax.jit(fn)

@@ -56,10 +56,12 @@ class TwoStageTrainer(BaseTrainer):
         loss_w = list(tcfg.get("stage_loss_weights", [1.0] * n_stages))
         with_mask = eng.with_mask
         # mask_size lives in train_cfg.rcnn (reference configs), agnosticism
-        # in the mask_head cfg
+        # in the mask_head cfg (take the last head for per-stage lists)
         mask_size = int(stages[-1].get("mask_size", 28))
-        class_agnostic = bool((eng.model_cfg.get("mask_head") or {}).get(
-            "class_agnostic", False))
+        mh_cfg = eng.model_cfg.get("mask_head") or {}
+        if isinstance(mh_cfg, (list, tuple)):
+            mh_cfg = mh_cfg[-1]
+        class_agnostic = bool(mh_cfg.get("class_agnostic", False))
 
         def loss_fn(params, sample, rng):
             img = sample["img"]
@@ -156,6 +158,20 @@ class TwoStageTrainer(BaseTrainer):
                                              mask=sr.label_weights > 0)
                 last_sr, last_pooled_rois = sr, rois
 
+                # HTC per-stage mask heads with info flow (htc.py:97-104):
+                # each stage's mask trains on its own sampled rois
+                if with_mask and eng.num_mask_stages > 1:
+                    mp = eng.mask_roi_extractor([c5], rois)
+                    mp = eng._fuse_semantic(mp, emb, rois, "mask")
+                    mpred = mod.apply(params, mp, s, method=mod.mask_stage)
+                    lm = mask_branch_loss(
+                        mpred.astype(jnp.float32),
+                        sample["gt_masks"][sr.gt_inds], rois, sr.labels,
+                        sr.pos_mask, mask_size=mask_size,
+                        class_agnostic=class_agnostic)
+                    total = total + w * lm
+                    logs[f"loss_mask_s{s}"] = lm
+
                 if s < n_stages - 1:
                     # refine sampled boxes by predicted class, detached
                     # (cascade_rcnn.py:forward_train → regress_by_class)
@@ -174,7 +190,7 @@ class TwoStageTrainer(BaseTrainer):
                 total = total + loss_seg
                 logs["loss_semantic_seg"] = loss_seg
 
-            if with_mask:
+            if with_mask and eng.num_mask_stages <= 1:
                 mpooled = eng.mask_roi_extractor([c5], last_pooled_rois)
                 mpooled = eng._fuse_semantic(mpooled, emb,
                                              last_pooled_rois, "mask")

@@ -34,12 +34,14 @@ class FCNMaskHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        """x: (R, 14, 14, C) → mask logits (R, 28, 28, num_classes-1)."""
+    def __call__(self, x, return_feat: bool = False):
+        """x: (R, 14, 14, C) → mask logits (R, 28, 28, num_classes-1);
+        with return_feat also the post-conv features (HTC info flow)."""
         k = self.conv_kernel_size
         for i in range(self.num_convs):
             x = nn.relu(Conv(self.conv_out_channels, (k, k), padding=k // 2,
                              dtype=self.dtype, name=f"conv{i}")(x))
+        res_feat = x
         if self.upsample_method == "deconv":
             x = nn.ConvTranspose(self.conv_out_channels,
                                  (self.upsample_ratio, self.upsample_ratio),
@@ -53,19 +55,42 @@ class FCNMaskHead(nn.Module):
             x = jnp.broadcast_to(x[:, :, None, :, None, :],
                                  (B, H, r, W, r, C)).reshape(B, H * r, W * r, C)
         out_ch = 1 if self.class_agnostic else self.num_classes - 1
-        return Conv(out_ch, (1, 1), dtype=self.dtype, name="conv_logits")(x)
+        logits = Conv(out_ch, (1, 1), dtype=self.dtype,
+                      name="conv_logits")(x)
+        return (logits, res_feat) if return_feat else logits
 
 
 @HEADS.register_module
 class HTCMaskHead(FCNMaskHead):
-    """HTC variant: extra 1×1 conv to fuse the previous stage's features."""
+    """HTC variant (htc_mask_head.py:7-38): a 1×1 `conv_res` fuses the
+    previous stage's post-conv features into the pooled input (mask info
+    flow); `return_feat` exposes this stage's features for the next, and
+    `return_logits=False` runs only the conv trunk (the flow-through mode
+    used when replaying earlier heads)."""
 
     @nn.compact
-    def __call__(self, x, res_feat=None):
+    def __call__(self, x, res_feat=None, return_logits: bool = True,
+                 return_feat: bool = False):
         if res_feat is not None:
-            x = x + nn.relu(Conv(self.in_channels, (1, 1), dtype=self.dtype,
-                                 name="res_conv")(res_feat))
-        return super().__call__(x)
+            x = x + nn.relu(Conv(self.conv_out_channels, (1, 1),
+                                 dtype=self.dtype, name="conv_res")(res_feat))
+        k = self.conv_kernel_size
+        for i in range(self.num_convs):
+            x = nn.relu(Conv(self.conv_out_channels, (k, k), padding=k // 2,
+                             dtype=self.dtype, name=f"conv{i}")(x))
+        res_feat = x
+        if not return_logits:
+            return res_feat
+        if self.upsample_method == "deconv":
+            x = nn.relu(nn.ConvTranspose(
+                self.conv_out_channels,
+                (self.upsample_ratio, self.upsample_ratio),
+                strides=(self.upsample_ratio,) * 2, dtype=self.dtype,
+                param_dtype=jnp.float32, name="upsample")(x))
+        out_ch = 1 if self.class_agnostic else self.num_classes - 1
+        logits = Conv(out_ch, (1, 1), dtype=self.dtype,
+                      name="conv_logits")(x)
+        return (logits, res_feat) if return_feat else logits
 
 
 @HEADS.register_module

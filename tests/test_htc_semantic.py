@@ -23,17 +23,18 @@ def _htc_cfg():
             type='SingleRoIExtractor',
             roi_layer=dict(type='RoIAlign', out_size=7, sample_num=2),
             out_channels=32, featmap_strides=[4]),
-        bbox_head=dict(
+        bbox_head=[dict(
             type='SharedFCBBoxHead', in_channels=32, fc_out_channels=32,
             num_classes=9, reg_class_agnostic=True,
             target_means=[0., 0., 0., 0.],
-            target_stds=[0.1, 0.1, 0.2, 0.2]),
+            target_stds=[0.1, 0.1, 0.2, 0.2]) for _ in range(2)],
         mask_roi_extractor=dict(
             type='SingleRoIExtractor',
             roi_layer=dict(type='RoIAlign', out_size=14, sample_num=2),
             out_channels=32, featmap_strides=[4]),
-        mask_head=dict(type='FCNMaskHead', num_convs=1, in_channels=32,
-                       conv_out_channels=32, num_classes=9),
+        mask_head=[dict(type='HTCMaskHead', num_convs=1, in_channels=32,
+                        conv_out_channels=32, num_classes=9)
+                   for _ in range(2)],
         semantic_roi_extractor=dict(
             type='SingleRoIExtractor',
             roi_layer=dict(type='RoIAlign', out_size=14, sample_num=2),
@@ -52,11 +53,12 @@ def _train_cfg():
                  sampler=dict(num=64, pos_fraction=0.5), pos_weight=-1),
         rpn_proposal=dict(nms_pre=200, nms_post=64, max_num=64, nms_thr=0.7,
                           min_bbox_size=0),
-        rcnn=dict(
-            assigner=dict(pos_iou_thr=0.5, neg_iou_thr=0.5, min_pos_iou=0.5),
+        rcnn=[dict(
+            assigner=dict(pos_iou_thr=thr, neg_iou_thr=thr, min_pos_iou=thr),
             sampler=dict(num=32, pos_fraction=0.25,
                          add_gt_as_proposals=True),
-            pos_weight=-1, mask_size=28))
+            pos_weight=-1, mask_size=28) for thr in (0.5, 0.6)],
+        stage_loss_weights=[1, 0.5])
 
 
 def test_htc_semantic_train_and_test():
@@ -98,8 +100,11 @@ def test_htc_semantic_train_and_test():
              pad_shape=np.array([64.0, 96.0], np.float32)))
     sem0 = jax.tree_util.tree_map(
         np.asarray, params["params"]["semantic_head"])
+    mh1_0 = jax.tree_util.tree_map(
+        np.asarray, params["params"]["mask_head1"])
     state2, logs = step(state, batch, jax.random.PRNGKey(1))
-    for k in ("loss", "loss_semantic_seg", "loss_mask", "loss_cls"):
+    for k in ("loss", "loss_semantic_seg", "loss_mask_s0", "loss_mask_s1",
+              "loss_cls_s0", "loss_cls_s1"):
         assert np.isfinite(float(logs[k])), k
     assert float(logs["loss_semantic_seg"]) > 0
     delta = sum(float(np.abs(np.asarray(a) - np.asarray(b)).sum())
@@ -107,6 +112,11 @@ def test_htc_semantic_train_and_test():
                                 jax.tree_util.tree_leaves(
                                     state2.params["params"]["semantic_head"])))
     assert delta > 0   # fusion + seg loss both feed the semantic branch
+    d1 = sum(float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+             for a, b in zip(jax.tree_util.tree_leaves(mh1_0),
+                             jax.tree_util.tree_leaves(
+                                 state2.params["params"]["mask_head1"])))
+    assert d1 > 0      # second-stage mask head (info flow) trains too
 
     img = jnp.asarray(rng.normal(size=(1, 64, 96, 3)).astype(np.float32))
     out = eng.simple_test(state2.params, img,
