@@ -70,6 +70,9 @@ def build_trainer(engine, cfg, mesh=None, steps_per_epoch: int = 1000):
         cls = HNMBTrainer
     elif det_type in ("SelsaRCNN",):
         cls = SelsaTrainer
+    elif det_type in ("FasterRCNN", "FastRCNN"):
+        from .engine.train_two_stage import FasterRCNNTrainer
+        cls = FasterRCNNTrainer
     elif det_type in ("CascadeRCNN", "HybridTaskCascade", "MaskRCNN",
                       "MaskScoringRCNN", "GridRCNN", "DoubleHeadRCNN"):
         from .engine.train_two_stage import TwoStageTrainer
@@ -80,13 +83,19 @@ def build_trainer(engine, cfg, mesh=None, steps_per_epoch: int = 1000):
         from .engine.train_guided_anchor import GATrainer
         from .engine.train_reppoints import RepPointsTrainer
         from .engine.train_single_stage import (FreeAnchorTrainer,
-                                                RetinaTrainer)
+                                                RetinaTrainer, SSDTrainer)
         cls = {"FCOSHead": FCOSTrainer, "FoveaHead": FoveaTrainer,
                "RepPointsHead": RepPointsTrainer,
                "FreeAnchorRetinaHead": FreeAnchorTrainer,
+               "SSDHead": SSDTrainer,
                "GARetinaHead": GATrainer}.get(head_type, RetinaTrainer)
     else:
-        cls = SelsaTrainer
+        raise ValueError(
+            f"no training objective registered for detector type "
+            f"{det_type!r} (head {head_type!r}); supported families: "
+            f"SELSA/HVRNet video detectors, Faster/Fast R-CNN, "
+            f"Cascade/HTC/Mask/MaskScoring/Grid/DoubleHead R-CNN, and the "
+            f"single-stage dense heads")
     return cls(engine, cfg, mesh=mesh, steps_per_epoch=steps_per_epoch)
 
 

@@ -158,7 +158,7 @@ def tpfp_imagenet(det_bboxes: np.ndarray, gt_bboxes: np.ndarray,
                 fp[i, (a >= min_a) & (a < max_a)] = 1
         return tp, fp
 
-    ious = bbox_overlaps_np(det_bboxes[:, :4] - 1, gt_bboxes - 1)
+    ious = bbox_overlaps_np(det_bboxes[:, :4], gt_bboxes - 1)
     gt_w = gt_bboxes[:, 2] - gt_bboxes[:, 0] + 1
     gt_h = gt_bboxes[:, 3] - gt_bboxes[:, 1] + 1
     iou_thrs = np.minimum((gt_w * gt_h) / ((gt_w + 10.0) * (gt_h + 10.0)),
@@ -173,25 +173,26 @@ def tpfp_imagenet(det_bboxes: np.ndarray, gt_bboxes: np.ndarray,
         for i in order:
             max_iou = -1.0
             matched = -1
+            # Unlike PASCAL VOC, a det may match another uncovered gt when
+            # the best-overlapped one is already taken (reference :113-116);
+            # ignored gts ARE matchable and then count as neither tp nor fp.
             for j in range(num_gts):
-                if gt_ignore[j] or gt_area_ignore[j]:
+                if covered[j]:
                     continue
                 if ious[i, j] >= iou_thrs[j] and ious[i, j] > max_iou:
                     max_iou = ious[i, j]
                     matched = j
-            if matched == -1:
-                if min_a is None:
-                    fp[k, i] = 1
-                else:
-                    a = ((det_bboxes[i, 2] - det_bboxes[i, 0] + 1)
-                         * (det_bboxes[i, 3] - det_bboxes[i, 1] + 1))
-                    if min_a <= a < max_a:
-                        fp[k, i] = 1
-            elif not covered[matched]:
+            if matched >= 0:
                 covered[matched] = True
-                tp[k, i] = 1
-            else:
+                if not (gt_ignore[matched] or gt_area_ignore[matched]):
+                    tp[k, i] = 1
+            elif min_a is None:
                 fp[k, i] = 1
+            else:
+                a = ((det_bboxes[i, 2] - det_bboxes[i, 0] + 1)
+                     * (det_bboxes[i, 3] - det_bboxes[i, 1] + 1))
+                if min_a <= a < max_a:
+                    fp[k, i] = 1
     return tp, fp
 
 

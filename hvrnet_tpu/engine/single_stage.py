@@ -89,6 +89,8 @@ class SingleStageEngine:
         head_type = str(head_cfg.get("type", ""))
         if head_type in ("FCOSHead", "FoveaHead", "RepPointsHead"):
             return self._point_test_fn(cfg, head_cfg, head_type)
+        if head_type == "SSDHead":
+            return self._ssd_test_fn(cfg, head_cfg)
         strides = tuple(head_cfg.get("anchor_strides",
                                      (8, 16, 32, 64, 128)))
 
@@ -133,6 +135,52 @@ class SingleStageEngine:
             # sigmoid heads have no bg column: prepend zeros (anchor_head.py:323-326)
             scores = jnp.concatenate(
                 [jnp.zeros((scores.shape[0], 1), scores.dtype), scores], axis=1)
+            return multiclass_nms_static(
+                boxes, scores, float(cfg["score_thr"]),
+                float(cfg["nms"]["iou_thr"]), int(cfg["max_per_img"]))
+
+        return jax.jit(fn)
+
+    def _ssd_test_fn(self, cfg, head_cfg):
+        """SSD decode (reference ssd_head via anchor_head.get_bboxes with
+        use_sigmoid_cls=False): softmax scores including the background
+        column, SSD anchor scheme, no score-column prepend."""
+        from ..ops.anchors import ssd_anchor_generators
+        mod = self.module
+        strides = tuple(head_cfg.get("anchor_strides",
+                                     (8, 16, 32, 64, 100, 300)))
+        gens = ssd_anchor_generators(
+            input_size=int(head_cfg.get("input_size", 300)),
+            num_levels=len(strides), anchor_strides=strides,
+            basesize_ratio_range=tuple(head_cfg.get("basesize_ratio_range",
+                                                    (0.1, 0.9))),
+            anchor_ratios=head_cfg.get(
+                "anchor_ratios", ([2], [2, 3], [2, 3], [2, 3], [2], [2])))
+        nc = self.num_classes
+
+        def fn(params, img, img_shape, scale_factor):
+            cls_maps, reg_maps = mod.apply(params, img)
+            all_boxes, all_scores = [], []
+            for lvl, (cm, rm) in enumerate(zip(cls_maps, reg_maps)):
+                anchors = jnp.asarray(gens[lvl].grid_anchors(
+                    cm.shape[1:3], strides[lvl]))
+                scores = jax.nn.softmax(
+                    cm[0].reshape(-1, nc).astype(jnp.float32), axis=-1)
+                deltas = rm[0].reshape(-1, 4).astype(jnp.float32)
+                nms_pre = int(cfg.get("nms_pre", 1000))
+                if scores.shape[0] > nms_pre:
+                    # rank by best foreground score (anchor_head.py:329-334)
+                    _, idx = jax.lax.top_k(scores[:, 1:].max(axis=1), nms_pre)
+                    scores = scores[idx]
+                    deltas = deltas[idx]
+                    anchors = anchors[idx]
+                boxes = delta2bbox(anchors, deltas, self.target_means,
+                                   self.target_stds, max_shape=img_shape)
+                all_boxes.append(boxes)
+                all_scores.append(scores)
+            boxes = jnp.concatenate(all_boxes, axis=0) / jnp.asarray(
+                scale_factor, jnp.float32)[:4].mean()
+            scores = jnp.concatenate(all_scores, axis=0)
             return multiclass_nms_static(
                 boxes, scores, float(cfg["score_thr"]),
                 float(cfg["nms"]["iou_thr"]), int(cfg["max_per_img"]))

@@ -95,6 +95,9 @@ class RetinaTrainer:
         fg = int(head.get("num_classes", 81)) - 1
         means = tuple(head.get("target_means", (0., 0., 0., 0.)))
         stds = tuple(head.get("target_stds", (1., 1., 1., 1.)))
+        # anchor_target.py:anchor_inside_flags — allowed_border < 0 disables
+        # the inside-image filter (the reference RetinaNet config uses -1)
+        allowed_border = float(tcfg.get("allowed_border", 0))
 
         def loss_fn(params, sample, rng):
             img = sample["imgs"]           # (1, H, W, 3)
@@ -105,8 +108,13 @@ class RetinaTrainer:
                 [r[0].reshape(-1, 4) for r in reg_maps], axis=0)
             h = sample["img_shape"][0][0]
             w = sample["img_shape"][0][1]
-            inside = ((anchors[:, 0] >= 0) & (anchors[:, 1] >= 0)
-                      & (anchors[:, 2] < w) & (anchors[:, 3] < h))
+            if allowed_border < 0:
+                inside = jnp.ones(anchors.shape[0], bool)
+            else:
+                inside = ((anchors[:, 0] >= -allowed_border)
+                          & (anchors[:, 1] >= -allowed_border)
+                          & (anchors[:, 2] < w + allowed_border)
+                          & (anchors[:, 3] < h + allowed_border))
             ar = max_iou_assign(anchors, sample["gt_bboxes"][0],
                                 sample["gt_mask"][0], sample["gt_labels"][0],
                                 float(acfg["pos_iou_thr"]),
@@ -236,5 +244,55 @@ class FreeAnchorTrainer(RetinaTrainer):
             return loss_pos + loss_neg, dict(
                 positive_bag_loss=loss_pos, negative_bag_loss=loss_neg,
                 num_pos=n_pos.astype(jnp.float32))
+
+        return loss_fn
+
+
+class SSDTrainer(RetinaTrainer):
+    """SSDHead training objective (reference `anchor_heads/ssd_head.py:loss`):
+    softmax CE with 3:1 hard-negative mining + SmoothL1 on positives, over
+    the SSD anchor scheme.  Anchors are built at trace time from the actual
+    per-level map shapes (SSD strides 100/300 don't ceil-divide the canvas)."""
+
+    def _build_loss_fn(self, canvas_h: int, canvas_w: int):
+        from ..ops.anchors import ssd_anchor_generators
+        from .train_mask import ssd_targets_and_loss
+        eng = self.engine
+        mod = eng.module
+        head = eng.model_cfg["bbox_head"]
+        nc = int(head.get("num_classes", 81))
+        means = tuple(head.get("target_means", (0., 0., 0., 0.)))
+        stds = tuple(head.get("target_stds", (0.1, 0.1, 0.2, 0.2)))
+        strides = tuple(head.get("anchor_strides", (8, 16, 32, 64, 100, 300)))
+        ratios = head.get("anchor_ratios",
+                          ([2], [2, 3], [2, 3], [2, 3], [2], [2]))
+        gens = ssd_anchor_generators(
+            input_size=int(head.get("input_size", 300)),
+            num_levels=len(strides), anchor_strides=strides,
+            basesize_ratio_range=tuple(head.get("basesize_ratio_range",
+                                                (0.1, 0.9))),
+            anchor_ratios=ratios)
+        tcfg = eng.train_cfg or {}
+        neg_pos_ratio = int(tcfg.get("neg_pos_ratio", 3))
+        beta = float(tcfg.get("smoothl1_beta", 1.0))
+
+        def loss_fn(params, sample, rng):
+            cls_maps, reg_maps = mod.apply(params, sample["imgs"])
+            logits, deltas, anchors = [], [], []
+            for lvl, (cm, rm) in enumerate(zip(cls_maps, reg_maps)):
+                logits.append(cm[0].reshape(-1, nc))
+                deltas.append(rm[0].reshape(-1, 4))
+                anchors.append(jnp.asarray(gens[lvl].grid_anchors(
+                    cm.shape[1:3], strides[lvl])))
+            logits = jnp.concatenate(logits, axis=0).astype(jnp.float32)
+            deltas = jnp.concatenate(deltas, axis=0).astype(jnp.float32)
+            anchors = jnp.concatenate(anchors, axis=0)
+            loss_cls, loss_bbox = ssd_targets_and_loss(
+                logits, deltas, anchors, sample["gt_bboxes"][0],
+                sample["gt_mask"][0], sample["gt_labels"][0],
+                neg_pos_ratio=neg_pos_ratio, target_means=means,
+                target_stds=stds, smoothl1_beta=beta)
+            return loss_cls + loss_bbox, dict(loss_cls=loss_cls,
+                                              loss_bbox=loss_bbox)
 
         return loss_fn

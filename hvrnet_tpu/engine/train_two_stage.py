@@ -206,3 +206,95 @@ class TwoStageTrainer(BaseTrainer):
             return total, logs
 
         return loss_fn
+
+
+class FasterRCNNTrainer(BaseTrainer):
+    """Plain still-image Faster R-CNN objective on the BaseEngine API
+    (reference `two_stage.py:forward_train` with a single RCNN stage).
+
+    Drives `engine.detector.FasterRCNN`/`FastRCNN` (the SELSA-style module,
+    not MultiStageEngine): RPN loss + rpn_proposal proposals + one
+    assign/sample stage + bbox-head CE/SmoothL1.  Accepts either the
+    still-image sample layout (``img``/(G,4) gts) or the video layout
+    (``imgs``/(F,G,4) — frame 0 is used).
+    """
+
+    def _build_loss_fn(self, canvas_h: int, canvas_w: int):
+        eng = self.engine
+        mod = eng.module
+        canvas = eng._canvas(canvas_h, canvas_w)
+        tcfg = eng.train_cfg
+        rpn_cfg = tcfg["rpn"]
+        prop_cfg = tcfg["rpn_proposal"]
+        rcnn = tcfg["rcnn"]
+        rcnn = rcnn[0] if isinstance(rcnn, (list, tuple)) else rcnn
+        assigner = rcnn["assigner"]
+        samp = rcnn["sampler"]
+        samp = samp[0] if isinstance(samp, (list, tuple)) else samp
+        hc = eng.model_cfg["bbox_head"]
+        means = tuple(hc.get("target_means", (0., 0., 0., 0.)))
+        stds = tuple(hc.get("target_stds", (0.1, 0.1, 0.2, 0.2)))
+        beta = float(hc.get("loss_bbox", {}).get("beta", 1.0))
+        has_shared = bool(eng.model_cfg.get("shared_head"))
+
+        def loss_fn(params, sample, rng):
+            if "img" in sample:
+                img = sample["img"]
+                if img.ndim == 3:
+                    img = img[None]
+                gtb, gtl = sample["gt_bboxes"], sample["gt_labels"]
+                gtm = sample["gt_mask"]
+                ish, psh = sample["img_shape"], sample["pad_shape"]
+            else:
+                img = sample["imgs"][:1]
+                gtb, gtl = sample["gt_bboxes"][0], sample["gt_labels"][0]
+                gtm = sample["gt_mask"][0]
+                ish, psh = sample["img_shape"][0], sample["pad_shape"][0]
+            rngs = jax.random.split(rng, 2)
+            c4 = mod.apply(params, img, method=mod.extract_feat)
+            cls_map, reg_map = mod.apply(params, c4, method=mod.rpn)
+            c5 = mod.apply(params, c4, method=mod.shared) if has_shared else c4
+
+            tgt = anchor_target_single(
+                rngs[0], canvas.anchors, canvas.anchor_valid(psh),
+                gtb, gtm, ish, rpn_cfg, eng.rpn_means, eng.rpn_stds)
+            loss_rpn_cls, loss_rpn_bbox = _rpn_loss(cls_map[0], reg_map[0], tgt)
+
+            boxes, _, pmask = _rpn_proposals(
+                jax.lax.stop_gradient(cls_map[0]),
+                jax.lax.stop_gradient(reg_map[0]),
+                canvas, psh, ish, prop_cfg, eng.rpn_means, eng.rpn_stds)
+            sr = random_sample_and_target(
+                rngs[1], boxes, pmask, gtb, gtm, gtl,
+                num=int(samp["num"]),
+                pos_fraction=float(samp["pos_fraction"]),
+                add_gt_as_proposals=bool(samp.get("add_gt_as_proposals", True)),
+                pos_iou_thr=float(assigner["pos_iou_thr"]),
+                neg_iou_thr=float(assigner["neg_iou_thr"]),
+                min_pos_iou=float(assigner["min_pos_iou"]),
+                target_means=means, target_stds=stds,
+                pos_weight=float(rcnn.get("pos_weight", -1)))
+            rois = jnp.concatenate(
+                [jnp.zeros((sr.rois.shape[0], 1)), sr.rois], axis=1)
+            pooled = eng.roi_extractor([c5], rois)
+            cls, reg = mod.apply(params, pooled, 0, rois.shape[0], sr.valid,
+                                 method=mod.bbox_forward)
+            navg = jnp.maximum((sr.label_weights > 0).sum().astype(
+                jnp.float32), 1.0)
+            ce = softmax_cross_entropy(cls, sr.labels)
+            loss_cls = (ce * sr.label_weights).sum() / navg
+            if hc.get("reg_class_agnostic", False):
+                reg_sel = reg.reshape(-1, 4)
+            else:
+                reg_sel = jnp.take_along_axis(
+                    reg.reshape(reg.shape[0], -1, 4),
+                    jnp.maximum(sr.labels, 0)[:, None, None], axis=1)[:, 0]
+            l1 = _smooth_l1(reg_sel, sr.bbox_targets, beta) * sr.bbox_weights
+            loss_bbox = l1.sum() / navg
+            total = loss_rpn_cls + loss_rpn_bbox + loss_cls + loss_bbox
+            return total, dict(
+                loss_rpn_cls=loss_rpn_cls, loss_rpn_bbox=loss_rpn_bbox,
+                loss_cls=loss_cls, loss_bbox=loss_bbox,
+                acc=accuracy(cls, sr.labels, mask=sr.label_weights > 0))
+
+        return loss_fn

@@ -121,7 +121,8 @@ class SSDVGG(nn.Module):
                     and len(outs) == 0:
                 # conv4_3 output with L2 norm (ssd_vgg.py L2Norm)
                 scale = self.param("l2_norm_scale",
-                                   lambda k, s: jnp.full(s, self.l2_norm_scale),
+                                   lambda k, s: jnp.full(
+                                       s, self.l2_norm_scale, jnp.float32),
                                    (x.shape[-1],))
                 norm = jnp.sqrt((x ** 2).sum(-1, keepdims=True) + 1e-10)
                 outs.append(x / norm * scale)

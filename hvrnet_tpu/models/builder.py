@@ -36,6 +36,12 @@ def build_model_module(model_cfg: Dict[str, Any], dtype=jnp.float32) -> TwoStage
 
 def build_detector(model_cfg: Dict[str, Any], train_cfg=None, test_cfg=None,
                    dtype=jnp.float32):
+    # engine classes register on import; pull them all in so a config-driven
+    # caller (tools/*, apis.init_detector) sees the full zoo (lazy to avoid
+    # an import cycle: engine modules import models.builder)
+    from ..engine import detector as _det            # noqa: F401
+    from ..engine import multi_stage as _ms          # noqa: F401
+    from ..engine import single_stage as _ss         # noqa: F401
     det_type = model_cfg["type"]
     cls = DETECTORS.get(det_type)
     if cls is None:

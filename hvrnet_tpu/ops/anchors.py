@@ -58,6 +58,10 @@ class AnchorGenerator:
         all_anchors = self.base_anchors[None, :, :] + shifts[:, None, :]
         return all_anchors.reshape(-1, 4).astype(np.float32)
 
+    def reorder_base_anchors(self, indices: Sequence[int]):
+        self.base_anchors = self.base_anchors[np.asarray(indices)]
+        return self
+
     def valid_flags(self, featmap_size: Tuple[int, int],
                     valid_size: Tuple[int, int]) -> np.ndarray:
         feat_h, feat_w = featmap_size
@@ -69,3 +73,56 @@ class AnchorGenerator:
         valid_y[:valid_h] = True
         valid = np.tile(valid_x, feat_h) & np.repeat(valid_y, feat_w)
         return np.repeat(valid, self.num_base_anchors)
+
+
+def ssd_anchor_generators(input_size: int = 300,
+                          num_levels: int = 6,
+                          anchor_strides: Sequence[int] = (8, 16, 32, 64, 100, 300),
+                          basesize_ratio_range: Tuple[float, float] = (0.1, 0.9),
+                          anchor_ratios: Sequence[Sequence[float]] = (
+                              [2], [2, 3], [2, 3], [2, 3], [2], [2])):
+    """Per-level SSD anchor generators (reference `ssd_head.py:47-90`).
+
+    Min/max sizes from the basesize ratio range (with the SSD300/512
+    first-level special cases), per-level scales [1, sqrt(max/min)], ratios
+    [1, 1/r, r, ...], scale_major=False, centre (stride-1)/2, and the base
+    anchor reorder that inserts the scale-2 square at position 1.
+    """
+    min_ratio, max_ratio = basesize_ratio_range
+    min_ratio = int(min_ratio * 100)
+    max_ratio = int(max_ratio * 100)
+    step = int(np.floor(max_ratio - min_ratio) / (num_levels - 2))
+    min_sizes, max_sizes = [], []
+    for r in range(int(min_ratio), int(max_ratio) + 1, step):
+        min_sizes.append(int(input_size * r / 100))
+        max_sizes.append(int(input_size * (r + step) / 100))
+    if input_size == 300:
+        if basesize_ratio_range[0] == 0.15:      # SSD300 COCO
+            min_sizes.insert(0, int(input_size * 7 / 100))
+            max_sizes.insert(0, int(input_size * 15 / 100))
+        elif basesize_ratio_range[0] == 0.2:     # SSD300 VOC
+            min_sizes.insert(0, int(input_size * 10 / 100))
+            max_sizes.insert(0, int(input_size * 20 / 100))
+    elif input_size == 512:
+        if basesize_ratio_range[0] == 0.1:       # SSD512 COCO
+            min_sizes.insert(0, int(input_size * 4 / 100))
+            max_sizes.insert(0, int(input_size * 10 / 100))
+        elif basesize_ratio_range[0] == 0.15:    # SSD512 VOC
+            min_sizes.insert(0, int(input_size * 7 / 100))
+            max_sizes.insert(0, int(input_size * 15 / 100))
+    gens = []
+    for k in range(num_levels):
+        base_size = min_sizes[k]
+        stride = anchor_strides[k]
+        ctr = ((stride - 1) / 2.0, (stride - 1) / 2.0)
+        scales = [1.0, np.sqrt(max_sizes[k] / min_sizes[k])]
+        ratios = [1.0]
+        for r in anchor_ratios[k]:
+            ratios += [1.0 / r, r]
+        gen = AnchorGenerator(base_size, scales, ratios, scale_major=False,
+                              ctr=ctr)
+        indices = list(range(len(ratios)))
+        indices.insert(1, len(indices))
+        gen.reorder_base_anchors(indices)
+        gens.append(gen)
+    return gens

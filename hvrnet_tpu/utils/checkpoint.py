@@ -114,13 +114,6 @@ _BN_MAP = {"weight": "scale", "bias": "bias",
            "running_mean": "mean", "running_var": "var"}
 
 
-def _convert_convbn(out: Dict, prefix: Tuple[str, ...], tname: str,
-                    tensors: Dict[str, np.ndarray], conv_key: str, bn_key: str):
-    for suffix, v in tensors.items():
-        if suffix == "weight" and v.ndim == 4:
-            _set(out, prefix + ("conv", "kernel"), _conv_w(v))
-
-
 def convert_torch_checkpoint(state_dict: Dict[str, np.ndarray],
                              verbose: bool = False) -> Dict[str, Any]:
     """Map a reference mmdet state_dict to this framework's {'params': ...}.

@@ -84,3 +84,61 @@ def test_test_cli_and_vid_eval(mini_vid, tmp_path):  # noqa: F811
         capture_output=True, timeout=300, cwd=REPO, text=True)
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "mAP" in r2.stdout
+
+
+def test_wait_for_parts_rendezvous(tmp_path):
+    """rank-0 merge must wait for late ranks (reference test.py:568 barrier)."""
+    import threading
+    import time
+    from tools.test import wait_for_parts
+
+    p0 = tmp_path / "part_0.pkl"
+    p1 = tmp_path / "part_1.pkl"
+    p0.write_bytes(b"x")
+
+    def late_writer():
+        time.sleep(0.8)
+        p1.write_bytes(b"y")
+
+    t = threading.Thread(target=late_writer)
+    t0 = time.time()
+    t.start()
+    wait_for_parts([str(p0), str(p1)], timeout=10.0, poll=0.05)
+    t.join()
+    assert time.time() - t0 >= 0.7   # it actually waited
+
+    with pytest.raises(TimeoutError):
+        wait_for_parts([str(tmp_path / "never.pkl")], timeout=0.3, poll=0.05)
+
+
+def _rank_cmd(cfg_path, out, tmpdir, rank, world):
+    return [sys.executable, "-c",
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "import sys; sys.argv=['test.py', %r, '--out', %r, '--tmpdir', %r,"
+            "'--rank', '%d', '--world-size', '%d', '--merge-timeout', '600'];"
+            "sys.path.insert(0, %r);"
+            "import runpy; runpy.run_path(%r, run_name='__main__')"
+            % (cfg_path, out, tmpdir, rank, world, REPO,
+               osp.join(REPO, "tools/test.py"))]
+
+
+def test_test_cli_two_process_merge(mini_vid, tmp_path):  # noqa: F811
+    """Two concurrent rank processes; rank 0 must block on rank 1's part file
+    and produce the fully merged result set."""
+    cfg_path = str(tmp_path / "tiny_cfg.py")
+    with open(cfg_path, "w") as f:
+        f.write(TINY_CFG.format(root=mini_vid))
+    out = str(tmp_path / "merged.pkl")
+    tmpdir = str(tmp_path / "parts")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen(_rank_cmd(cfg_path, out, tmpdir, r, 2),
+                              cwd=REPO, env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True)
+             for r in (0, 1)]
+    for p in procs:
+        _, err = p.communicate(timeout=900)
+        assert p.returncode == 0, err[-2000:]
+    with open(out, "rb") as f:
+        results = pickle.load(f)
+    assert len(results) == 8 and all(x is not None for x in results)

@@ -131,3 +131,76 @@ def test_hnmb_train_step_runs_and_freezes_backbone():
     assert not np.allclose(s0, s1)
     h1 = state2.params["params"]["bbox_head"]["fc_cls_2"]["kernel"]
     assert not np.allclose(h0, h1)
+
+
+def _tree_allclose(a, b, rtol=1e-4, atol=1e-5):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=rtol, atol=atol)
+
+
+def _differential_mesh_check(trainer_cls, eng, opt_cfg, frames, n_dev=4):
+    """Mesh step == manual per-sample grads → mean → same optax update.
+
+    Protects the §2.4 parallelism axis: pmean'd grads and post-step params on
+    an n-device CPU mesh must match the single-device computation exactly.
+    """
+    import optax
+    from hvrnet_tpu.engine.train import TrainState
+    from hvrnet_tpu.parallel.mesh import make_mesh, shard_batch
+
+    params = eng.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    samples = [make_sample(rng, frames=frames) for _ in range(n_dev)]
+    batch = {k: np.concatenate([s[k] for s in samples]) for k in samples[0]}
+    rngs = jax.random.split(jax.random.PRNGKey(3), n_dev)
+
+    # --- manual single-device reference (first: the mesh step donates and
+    # deletes the shared param buffers)
+    tr1 = trainer_cls(eng, dict(optimizer=opt_cfg), mesh=None,
+                      steps_per_epoch=10)
+    state1 = tr1.create_state(params)
+    loss_fn = tr1._build_loss_fn(64, 96)
+    gfn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    losses, grads = [], None
+    for i in range(n_dev):
+        sample = jax.tree_util.tree_map(lambda x: x[i], batch)
+        (loss, _), g = gfn(params, sample, rngs[i])
+        losses.append(float(loss))
+        grads = g if grads is None else jax.tree_util.tree_map(
+            jnp.add, grads, g)
+    grads = jax.tree_util.tree_map(lambda x: x / n_dev, grads)
+    updates, _ = tr1.tx.update(grads, state1.opt_state, params)
+    ref_params = jax.tree_util.tree_map(
+        np.asarray, optax.apply_updates(params, updates))
+
+    # --- mesh path
+    mesh = make_mesh(n_dev)
+    tr8 = trainer_cls(eng, dict(optimizer=opt_cfg), mesh=mesh,
+                      steps_per_epoch=10)
+    state8 = tr8.create_state(params)
+    step8 = tr8.make_train_step(64, 96)
+    state8b, logs8 = step8(state8, shard_batch(mesh, batch), rngs)
+
+    assert abs(float(logs8["loss"]) - np.mean(losses)) < 1e-4
+    _tree_allclose(state8b.params, ref_params)
+
+
+def test_selsa_trainer_mesh_matches_single_device():
+    model_cfg = tiny_model_cfg(sampler_num=8, t_dim=3)
+    eng = SelsaRCNN(model_cfg, tiny_train_cfg(two_stage_sampler=True), None)
+    _differential_mesh_check(SelsaTrainer, eng,
+                             dict(lr=1e-3, momentum=0.9, weight_decay=1e-4),
+                             frames=3)
+
+
+def test_hnmb_trainer_mesh_matches_single_device():
+    model_cfg = tiny_model_cfg(head_type='HRNMPBBoxHead', sampler_num=8,
+                               t_dim=9, imgs_per_video=3)
+    model_cfg["type"] = 'HNMBRCNN'
+    eng = HNMBRCNN(model_cfg, tiny_train_cfg(two_stage_sampler=False, num=8),
+                   None)
+    _differential_mesh_check(HNMBTrainer, eng, dict(lr=1e-3), frames=15)

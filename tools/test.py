@@ -28,6 +28,8 @@ def parse_args():
     p.add_argument("--tmpdir", default=None,
                    help="directory for per-rank part files")
     p.add_argument("--eval", action="store_true", help="run vid mAP at the end")
+    p.add_argument("--merge-timeout", type=float, default=3600.0,
+                   help="rank-0 wait (s) for other ranks' part files")
     p.add_argument("--branch", type=int, default=-1,
                    help="which head branch to keep (HVRNet)")
     p.add_argument("--window", type=int, default=None,
@@ -50,6 +52,23 @@ def collect_results(tmpdir: str, world_size: int, total: int):
             if res is not None:
                 merged[i] = res
     return merged
+
+
+def wait_for_parts(paths, timeout: float = 3600.0, poll: float = 0.5):
+    """Filesystem rendezvous replacing the reference's dist.barrier
+    (test.py:568): rank 0 blocks until every rank's part file exists (they
+    are written atomically via os.replace), or raises on timeout."""
+    import time
+    deadline = time.time() + timeout
+    while True:
+        missing = [p for p in paths if not os.path.isfile(p)]
+        if not missing:
+            return
+        if time.time() > deadline:
+            raise TimeoutError(
+                f"timed out after {timeout:.0f}s waiting for rank part "
+                f"files: {missing}")
+        time.sleep(poll)
 
 
 def main():
@@ -98,21 +117,23 @@ def main():
 
     tmpdir = args.tmpdir or os.path.dirname(os.path.abspath(args.out)) or "."
     os.makedirs(tmpdir, exist_ok=True)
-    with open(os.path.join(tmpdir, f"part_{args.rank}.pkl"), "wb") as f:
+    part_path = os.path.join(tmpdir, f"part_{args.rank}.pkl")
+    with open(part_path + ".tmp", "wb") as f:
         pickle.dump(results, f)
+    os.replace(part_path + ".tmp", part_path)   # atomic: never seen half-written
     logger.info("rank %d wrote part file", args.rank)
 
     if args.rank == 0:
         parts = [os.path.join(tmpdir, f"part_{r}.pkl")
                  for r in range(args.world_size)]
-        if all(os.path.isfile(p) for p in parts):
-            merged = collect_results(tmpdir, args.world_size, len(dataset))
-            with open(args.out, "wb") as f:
-                pickle.dump(merged, f)
-            logger.info("merged results → %s", args.out)
-            if args.eval:
-                from tools.vid_eval import evaluate_results
-                evaluate_results(args.out, args.config)
+        wait_for_parts(parts, timeout=args.merge_timeout)
+        merged = collect_results(tmpdir, args.world_size, len(dataset))
+        with open(args.out, "wb") as f:
+            pickle.dump(merged, f)
+        logger.info("merged results → %s", args.out)
+        if args.eval:
+            from tools.vid_eval import evaluate_results
+            evaluate_results(args.out, args.config)
 
 
 if __name__ == "__main__":
