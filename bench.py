@@ -1,21 +1,31 @@
-"""Benchmark: SELSA R101-C5 video-detection inference throughput per chip.
+"""Benchmark: HVRNet / SELSA video-detection inference throughput per chip.
 
 Measures the steady-state cost of one output frame at the reference operating
-point (`/root/reference/tools/test.py:758`, `configs/faster_rcnn_r101_selsa_c5.py`):
-(1000, 600) keep-ratio input on the 608×1008 static canvas, R101-C4 backbone +
-dilated-C5 shared head, 6000→300 proposal RPN with static NMS, RoIAlign 7×7,
-21-frame × 300-proposal SELSA attention (6300 tokens), per-class NMS to 300
-detections.  Per output frame the pipeline runs exactly one frame_features
-call (backbone+RPN+RoIAlign+fc1, cached) and one window_detect call — the
-TPU-first restructuring of the reference loop which recomputes shared-head,
-RPN and RoIAlign over all 21 frames per output frame.
+points:
+
+* ``hvrnet`` (default — BASELINE.json's north-star metric): the
+  `tools/hnl_test.py` machine at the committed config's t_dim=21/key_dim=10
+  point (`/root/reference/tools/hnl_test.py:757`,
+  `configs/faster_rcnn_r101_hrnmp_c5.py:151-152`): (1000, 600) keep-ratio
+  input on the 608×1008 canvas, R101-C4 + dilated-C5 shared head, 6000→300
+  proposal RPN, RoIAlign 7×7, 4-block HRNMP relation head over 21×300 = 6300
+  tokens, final-branch multiclass NMS.
+* ``selsa``: the `tools/test.py` machine (21-frame window, 2-block head).
+
+Per output frame the pipeline runs exactly one frame_features call
+(backbone+RPN+RoIAlign+fc1, cached per frame) and one fused ring_step
+(window push + relation head + decode) — the TPU-first restructuring of the
+reference loop, which recomputes shared-head, RPN and RoIAlign over all T
+cached frames for every output frame.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is relative to the 4 fps/GPU reference-implementation proxy
-recorded in BASELINE.md (no fps is published in the reference repo).
+derived in BASELINE.md §proxy-baseline (no fps is published in the
+reference repo).
 """
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -24,19 +34,38 @@ import numpy as np
 BASELINE_FPS = 4.0  # documented proxy (BASELINE.md): reference impl. per GPU
 
 
+def build_engine(model: str):
+    import jax.numpy as jnp
+    from hvrnet_tpu.utils.config import Config
+    if model == "hvrnet":
+        from hvrnet_tpu.engine import HNMBRCNN
+        cfg = Config.fromfile("configs/faster_rcnn_r101_hrnmp_c5.py")
+        return HNMBRCNN(cfg.model, None, cfg.test_cfg, dtype=jnp.bfloat16)
+    from hvrnet_tpu.engine import SelsaRCNN
+    cfg = Config.fromfile("configs/faster_rcnn_r101_selsa_c5.py")
+    return SelsaRCNN(cfg.model, None, cfg.test_cfg, dtype=jnp.bfloat16)
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=["hvrnet", "selsa"], default="hvrnet")
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--window", type=int, default=None,
+                    help="override the cache length (e.g. 63 for the "
+                         "3-branch HVRNet point)")
+    args = ap.parse_args()
+
     import os
     import jax
     import jax.numpy as jnp
     os.makedirs("/tmp/hvrnet_tpu_xla_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/hvrnet_tpu_xla_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    from hvrnet_tpu.engine import SelsaRCNN
-    from hvrnet_tpu.utils.config import Config
 
-    cfg = Config.fromfile("configs/faster_rcnn_r101_selsa_c5.py")
-    engine = SelsaRCNN(cfg.model, None, cfg.test_cfg,
-                       dtype=jnp.bfloat16)
+    engine = build_engine(args.model)
+    if args.window:
+        engine.window = args.window
+        engine.key_dim = (args.window - 1) // 2
     # parameter init runs on the host CPU backend (hundreds of tiny programs
     # are slow over the device tunnel), then transfers once.
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
@@ -44,13 +73,15 @@ def main():
     params = jax.device_put(params, jax.devices()[0])
 
     H, W = 608, 1008
-    T = engine.window  # 21
-    P = engine.proposal_num  # 300
+    T = engine.window
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.normal(size=(1, H, W, 3)).astype(np.float32))
     img_shape = np.array([600.0, 1000.0], np.float32)
     pad_shape = np.array([608.0, 1008.0], np.float32)
     scale_factor = np.array([1.67, 1.67, 1.67, 1.67], np.float32)
+    # multi-branch heads decode only the stored (final) branch on device,
+    # exactly what the runner keeps for mAP
+    branch = -1 if getattr(engine, "multi_branch", False) else None
 
     # warm up / compile (device-resident ring buffer, one push + one detect
     # dispatch per frame — the real runner's steady state)
@@ -61,20 +92,24 @@ def main():
     state = engine.ring_reset(int(feats["fc1"].shape[-1]))
     for _ in range(T):
         state = engine.ring_push(state, feats)
-    state, out = engine.ring_step(params, state, feats, ish, sfd)
+    state, out = engine.ring_step(params, state, feats, ish, sfd,
+                                  branch=branch)
     jax.block_until_ready(out)
 
-    n = 100
+    n = args.frames
     t0 = time.perf_counter()
     for _ in range(n):
         feats = engine.frame_features(params, img, img_shape, pad_shape)
-        state, out = engine.ring_step(params, state, feats, ish, sfd)
+        state, out = engine.ring_step(params, state, feats, ish, sfd,
+                                      branch=branch)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     fps = n / dt
 
+    name = ("hvrnet_r101_vid_inference_throughput" if args.model == "hvrnet"
+            else "selsa_r101_vid_inference_throughput")
     print(json.dumps({
-        "metric": "selsa_r101_vid_inference_throughput",
+        "metric": name,
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

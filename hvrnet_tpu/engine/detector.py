@@ -223,8 +223,8 @@ class _RingMixin:
         return self._ring_push_fn(self.window)(state, feats)
 
     @functools.lru_cache(maxsize=4)
-    def _ring_detect_fn(self, t_dim: int, key_dim: int):
-        body = self._window_body(t_dim, key_dim)
+    def _ring_detect_fn(self, t_dim: int, key_dim: int, branch=None):
+        body = self._window_body(t_dim, key_dim, branch)
 
         def fn(params, state, img_shape, scale_factor):
             shift = -(state["pos"] + 1)
@@ -236,16 +236,17 @@ class _RingMixin:
         return jax.jit(fn)
 
     def ring_detect(self, params, state, img_shape, scale_factor,
-                    key_dim: Optional[int] = None):
+                    key_dim: Optional[int] = None, branch=None):
         fn = self._ring_detect_fn(self.window,
-                                  self.key_dim if key_dim is None else key_dim)
+                                  self.key_dim if key_dim is None else key_dim,
+                                  branch)
         return fn(params, state, jnp.asarray(img_shape, jnp.float32),
                   jnp.asarray(scale_factor, jnp.float32))
 
     @functools.lru_cache(maxsize=4)
-    def _ring_step_fn(self, t_dim: int, key_dim: int):
+    def _ring_step_fn(self, t_dim: int, key_dim: int, branch=None):
         """Fused push + detect: one dispatch for the whole window stage."""
-        body = self._window_body(t_dim, key_dim)
+        body = self._window_body(t_dim, key_dim, branch)
 
         def fn(params, state, feats, img_shape, scale_factor):
             pos = (state["pos"] + 1) % t_dim
@@ -269,10 +270,11 @@ class _RingMixin:
         return jax.jit(fn, donate_argnums=(1,))
 
     def ring_step(self, params, state, feats, img_shape, scale_factor,
-                  key_dim: Optional[int] = None):
+                  key_dim: Optional[int] = None, branch=None):
         """Push a frame's caches AND detect the window center in one program."""
         fn = self._ring_step_fn(self.window,
-                                self.key_dim if key_dim is None else key_dim)
+                                self.key_dim if key_dim is None else key_dim,
+                                branch)
         return fn(params, state, feats,
                   jnp.asarray(img_shape, jnp.float32),
                   jnp.asarray(scale_factor, jnp.float32))
@@ -324,8 +326,9 @@ class _RingMixin:
         return self._ring_push_batched_fn(self.window)(state, feats, reset)
 
     @functools.lru_cache(maxsize=4)
-    def _ring_detect_batched_fn(self, t_dim: int, key_dim: int):
-        body = self._window_body(t_dim, key_dim)
+    def _ring_detect_batched_fn(self, t_dim: int, key_dim: int,
+                                branch=None):
+        body = self._window_body(t_dim, key_dim, branch)
 
         def one(params, state, img_shape, scale_factor):
             shift = -(state["pos"] + 1)
@@ -337,9 +340,9 @@ class _RingMixin:
         return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0)))
 
     def ring_detect_batched(self, params, state, img_shapes, scale_factors,
-                            key_dim: Optional[int] = None):
+                            key_dim: Optional[int] = None, branch=None):
         fn = self._ring_detect_batched_fn(
-            self.window, self.key_dim if key_dim is None else key_dim)
+            self.window, self.key_dim if key_dim is None else key_dim, branch)
         return fn(params, state, jnp.asarray(img_shapes, jnp.float32),
                   jnp.asarray(scale_factors, jnp.float32))
 
@@ -357,7 +360,7 @@ class SelsaRCNN(_RingMixin, BaseEngine):
         self.window = (2 * int(self.test_cfg["relation_setup"]["frame_interval"]) + 1
                        if self.test_cfg else None)
 
-    def _window_body(self, t_dim: int, key_dim: int):
+    def _window_body(self, t_dim: int, key_dim: int, branch=None):
         mod = self.module
         rcnn_cfg = self.test_cfg["rcnn"]
         P = self.proposal_num
@@ -375,17 +378,19 @@ class SelsaRCNN(_RingMixin, BaseEngine):
         return fn
 
     @functools.lru_cache(maxsize=4)
-    def _window_fn(self, t_dim: int, key_dim: int):
-        return jax.jit(self._window_body(t_dim, key_dim))
+    def _window_fn(self, t_dim: int, key_dim: int, branch=None):
+        return jax.jit(self._window_body(t_dim, key_dim, branch))
 
     def window_detect(self, params, fc1_stack, boxes, masks, img_shape,
-                      scale_factor, key_dim: Optional[int] = None):
+                      scale_factor, key_dim: Optional[int] = None,
+                      branch=None):
         """fc1_stack: (T, P, D); boxes: (T, P, 4); masks: (T, P).
 
         Returns (dets (max, 5) in ORIGINAL image coords, labels, valid).
         """
         t = fc1_stack.shape[0]
-        fn = self._window_fn(t, self.key_dim if key_dim is None else key_dim)
+        fn = self._window_fn(t, self.key_dim if key_dim is None else key_dim,
+                             branch)
         return fn(params, fc1_stack, boxes, masks,
                   jnp.asarray(img_shape, jnp.float32),
                   jnp.asarray(scale_factor, jnp.float32))
@@ -401,6 +406,8 @@ class HNMBRCNN(_RingMixin, BaseEngine):
     the requested branch (final by default — the one the paper's mAP uses).
     """
 
+    multi_branch = True   # head emits [branch, final] prediction pairs
+
     def __init__(self, model_cfg, train_cfg=None, test_cfg=None, dtype=jnp.float32):
         super().__init__(model_cfg, train_cfg, test_cfg, dtype)
         if self.train_cfg is not None:
@@ -410,7 +417,11 @@ class HNMBRCNN(_RingMixin, BaseEngine):
         self.window = (2 * int(self.test_cfg["relation_setup"]["frame_interval"]) + 1
                        if self.test_cfg else None)
 
-    def _window_body(self, t_dim: int, key_dim: int):
+    def _window_body(self, t_dim: int, key_dim: int, branch=None):
+        """branch=None decodes every head branch (the reference decodes
+        branch AND final, hrnmp_bbox_head.py:1020-1052); an int decodes only
+        that branch on device — the runner stores a single branch, so the
+        other multiclass-NMS is dead work in the steady-state loop."""
         mod = self.module
         rcnn_cfg = self.test_cfg["rcnn"]
         P = self.proposal_num
@@ -420,24 +431,29 @@ class HNMBRCNN(_RingMixin, BaseEngine):
             valid = masks.reshape(t_dim * P)
             cls_list, reg_list = mod.apply(params, fc1, key_dim * P, P, valid,
                                            method=mod.bbox_forward_fc1)
+            pairs = list(zip(cls_list, reg_list))
+            if branch is not None:
+                pairs = [pairs[branch]]
             outs = []
-            for cls, reg in zip(cls_list, reg_list):
+            for cls, reg in pairs:
                 outs.append(get_det_bboxes(
                     boxes[key_dim], cls, reg, img_shape, scale_factor,
                     self.target_means, self.target_stds, rescale=True,
                     cfg=rcnn_cfg, valid=masks[key_dim]))
-            return outs   # [(dets, labels, mask) per branch]
+            return outs[0] if branch is not None else outs
 
         return fn
 
     @functools.lru_cache(maxsize=4)
-    def _window_fn(self, t_dim: int, key_dim: int):
-        return jax.jit(self._window_body(t_dim, key_dim))
+    def _window_fn(self, t_dim: int, key_dim: int, branch=None):
+        return jax.jit(self._window_body(t_dim, key_dim, branch))
 
     def window_detect(self, params, fc1_stack, boxes, masks, img_shape,
-                      scale_factor, key_dim: Optional[int] = None):
+                      scale_factor, key_dim: Optional[int] = None,
+                      branch=None):
         t = fc1_stack.shape[0]
-        fn = self._window_fn(t, self.key_dim if key_dim is None else key_dim)
+        fn = self._window_fn(t, self.key_dim if key_dim is None else key_dim,
+                             branch)
         return fn(params, fc1_stack, boxes, masks,
                   jnp.asarray(img_shape, jnp.float32),
                   jnp.asarray(scale_factor, jnp.float32))

@@ -51,6 +51,11 @@ class SlidingWindowRunner:
         self.window = window or engine.window
         self.key_dim = (self.window - 1) // 2
         self.branch = branch            # which head branch to keep (HVRNet)
+        # multi-branch engines decode only the stored branch ON DEVICE — the
+        # reference decodes both and discards one (hrnmp get_det_bboxes),
+        # which wastes a full multiclass-NMS per frame
+        self.device_branch = (branch if getattr(engine, "multi_branch", False)
+                              else None)
         self.num_classes = engine.num_classes
         self.progress_hook = progress_hook
         if use_ring is None:
@@ -106,7 +111,7 @@ class SlidingWindowRunner:
                     with ctx:
                         ring_state, out = self.engine.ring_step(
                             self.params, ring_state, feats, m["img_shape"],
-                            m["scale_factor"])
+                            m["scale_factor"], branch=self.device_branch)
                         _handle_detection(out, m)
                     return
                 ring_state = self.engine.ring_push(ring_state, feats)
@@ -124,14 +129,15 @@ class SlidingWindowRunner:
                 if self.use_ring:
                     out = self.engine.ring_detect(self.params, ring_state,
                                                   m["img_shape"],
-                                                  m["scale_factor"])
+                                                  m["scale_factor"],
+                                                  branch=self.device_branch)
                 else:
                     fc1 = jnp.stack([c["fc1"] for c in cache])
                     boxes = jnp.stack([c["boxes"] for c in cache])
                     masks = jnp.stack([c["mask"] for c in cache])
-                    out = self.engine.window_detect(self.params, fc1, boxes,
-                                                    masks, m["img_shape"],
-                                                    m["scale_factor"])
+                    out = self.engine.window_detect(
+                        self.params, fc1, boxes, masks, m["img_shape"],
+                        m["scale_factor"], branch=self.device_branch)
                 _handle_detection(out, m)
 
         def _handle_detection(out, m):

@@ -34,7 +34,7 @@ def _iou_row(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
 
 def nms_static(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float,
                max_out: int, valid: Optional[jnp.ndarray] = None,
-               tile: int = 16) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               tile: int = 64) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS with a static number of outputs — exact tiled algorithm.
 
     Instead of one (argmax → suppress) device round trip per survivor, each

@@ -63,3 +63,25 @@ def test_hnmb_sliding_window_both_branches():
                             for r in results0])
     if flat.size and flat0.size:
         assert flat.shape != flat0.shape or not np.allclose(flat, flat0)
+
+
+def test_hnmb_extended_window_point():
+    """The 63-frame-analog operating point (SURVEY §3.2): cache length and
+    head t_dim derived as one quantity (here 9 = 3 branches × base window 3,
+    key_dim 4), the way tools/hnl_test.py rebuilds the head for --window."""
+    model_cfg, test_cfg = tiny_hnmb_cfg(window_interval=1, proposals=8)
+    window = 9
+    test_cfg["bbox_head"]["t_dim"] = window
+    test_cfg["bbox_head"]["key_dim"] = (window - 1) // 2
+    engine = HNMBRCNN(model_cfg, None, test_cfg)
+    engine.window = window
+    engine.key_dim = (window - 1) // 2
+    params = engine.init_params(jax.random.PRNGKey(1))
+    # head t_dim follows the override → nongt covers the full 9×8 rows
+    assert engine.model_cfg["bbox_head"]["t_dim"] == window
+
+    runner = SlidingWindowRunner(engine, params, window=window, branch=-1)
+    n = 11
+    results = runner.run(synthetic_stream(n), num_frames=n)
+    assert all(r is not None for r in results)
+    assert all(len(r) == 30 for r in results)

@@ -54,14 +54,20 @@ def main():
     cfg = Config.fromfile(args.config)
     logger = get_root_logger(rank=args.rank)
 
-    # window length and the head's t_dim are one config-derived quantity
-    # (SURVEY §3.2): window = (2·frame_interval+1)·test_branches.
+    # Window length and the head's t_dim are ONE derived quantity
+    # (SURVEY §3.2: window = (2·frame_interval+1)·test_branches; the
+    # reference's hardcoded 63-frame cache at hnl_test.py:757 is only
+    # self-consistent with test_branches=3 ⇒ t_dim=63/key_dim=31).  When
+    # --window differs from the config's t_dim, the head is rebuilt at the
+    # consistent operating point instead of silently collapsing the cache.
     t_dim = int(cfg.test_cfg.bbox_head.t_dim)
     window = args.window
     if window != t_dim:
-        logger.info("window %d != head t_dim %d — the head attends to the "
-                    "most recent t_dim·proposals rows", window, t_dim)
-        window = t_dim  # keep the attention token count consistent
+        logger.info("deriving head t_dim=%d, key_dim=%d from --window %d "
+                    "(config had t_dim %d)", window, (window - 1) // 2,
+                    window, t_dim)
+        cfg.test_cfg["bbox_head"]["t_dim"] = window
+        cfg.test_cfg["bbox_head"]["key_dim"] = (window - 1) // 2
 
     test_cfg_data = dict(cfg.data.test)
     test_cfg_data.update(dict(cfg.test_cfg.relation_setup))
@@ -71,6 +77,9 @@ def main():
 
     engine = build_detector(cfg.model, None, cfg.test_cfg,
                             dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    # the device ring buffer follows the requested cache length
+    engine.window = window
+    engine.key_dim = (window - 1) // 2
     params = load_params_for_engine(engine, args.checkpoint)
 
     prepad = None
@@ -80,12 +89,17 @@ def main():
         from hvrnet_tpu.engine.canvas import pad_to_canvas, pick_canvas_shape
 
         half = (window + 1) // 2
+        # map each video's (rank-rebased) start frame id to its info: the
+        # dataset's cur_video_index is a stateful eval-iterator variable and
+        # the prefetch thread runs ahead of the runner, so the video must be
+        # identified from the frame itself
+        start2info = {int(info["frame_id"]): info
+                      for info in dataset.img_infos}
 
         def prepad(first_frame):
             """Fetch half−1 random same-video frames through the pipeline
             (hnl_test.py:pre_padding_imgs semantics)."""
-            v = dataset.cur_video_index
-            info = dataset.img_infos[v]
+            info = start2info[int(first_frame["frame_start_id"])]
             L = info["frame_seg_len"]
             outs = []
             for off in np.random.randint(0, L, size=half - 1):
@@ -115,20 +129,23 @@ def main():
 
     tmpdir = args.tmpdir or os.path.dirname(os.path.abspath(args.out)) or "."
     os.makedirs(tmpdir, exist_ok=True)
-    with open(os.path.join(tmpdir, f"part_{args.rank}.pkl"), "wb") as f:
+    part_path = os.path.join(tmpdir, f"part_{args.rank}.pkl")
+    with open(part_path + ".tmp", "wb") as f:
         pickle.dump(results, f)
+    os.replace(part_path + ".tmp", part_path)
 
     if args.rank == 0:
+        from tools.test import wait_for_parts
         parts = [os.path.join(tmpdir, f"part_{r}.pkl")
                  for r in range(args.world_size)]
-        if all(os.path.isfile(p) for p in parts):
-            merged = collect_results(tmpdir, args.world_size, len(dataset))
-            with open(args.out, "wb") as f:
-                pickle.dump(merged, f)
-            logger.info("merged results → %s", args.out)
-            if args.eval:
-                from tools.vid_eval import evaluate_results
-                evaluate_results(args.out, args.config)
+        wait_for_parts(parts)
+        merged = collect_results(tmpdir, args.world_size, len(dataset))
+        with open(args.out, "wb") as f:
+            pickle.dump(merged, f)
+        logger.info("merged results → %s", args.out)
+        if args.eval:
+            from tools.vid_eval import evaluate_results
+            evaluate_results(args.out, args.config)
 
 
 if __name__ == "__main__":
