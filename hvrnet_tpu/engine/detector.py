@@ -149,6 +149,114 @@ class BaseEngine:
             jnp.asarray(img_shape, jnp.float32),
             jnp.asarray(pad_shape, jnp.float32))
 
+    # ---------------------------------------------------- aug frame program
+    @functools.lru_cache(maxsize=4)
+    def _frame_post_aug_fn(self, canvas_h: int, canvas_w: int,
+                           flips: Tuple[bool, ...]):
+        """Multi-aug per-frame processing (reference test_mixins.py:15-35
+        `aug_test_rpn` + :71-110 `aug_test_bboxes` adapted to the window
+        machine): per-aug RPN proposals merge in ORIGINAL-image coordinates
+        (merge_aug_proposals), then the SAME merged set maps into every
+        aug's coordinates and pools there, so per-aug head predictions can
+        be geometry-consistently averaged at detect time."""
+        from ..core.merge_augs import merge_aug_proposals
+        from ..ops.boxes import bbox_mapping
+        canvas = self._canvas(canvas_h, canvas_w)
+        rpn_cfg = self.test_cfg["rpn"]
+        mod = self.module
+
+        def fn(params, c5s, cls_maps, reg_maps, img_shapes, pad_shapes,
+               scale_factors):
+            props, pmasks, metas = [], [], []
+            for a, flip in enumerate(flips):
+                b, sc, m = _rpn_proposals(
+                    cls_maps[a], reg_maps[a], canvas, pad_shapes[a],
+                    img_shapes[a], rpn_cfg, self.rpn_means, self.rpn_stds)
+                props.append(jnp.concatenate([b, sc[:, None]], axis=1))
+                pmasks.append(m)
+                metas.append(dict(img_shape=img_shapes[a],
+                                  scale_factor=scale_factors[a], flip=flip))
+            merged, mmask = merge_aug_proposals(props, metas, rpn_cfg, pmasks)
+            fc1s = []
+            for a, flip in enumerate(flips):
+                boxes_a = bbox_mapping(merged[:, :4], img_shapes[a],
+                                       scale_factors[a], flip)
+                rois = jnp.concatenate(
+                    [jnp.zeros((boxes_a.shape[0], 1), boxes_a.dtype), boxes_a],
+                    axis=1)
+                pooled = self.roi_extractor([c5s[a:a + 1]], rois)
+                fc1s.append(mod.apply(params, pooled,
+                                      method=mod.bbox_precompute_fc1))
+            return dict(fc1=jnp.stack(fc1s), boxes=merged[:, :4], mask=mmask)
+
+        return jax.jit(fn)
+
+    def frame_features_aug(self, params, imgs, img_shapes, pad_shapes,
+                           scale_factors, flips):
+        """imgs: list of (1, H, W, 3) canvas-padded per-aug variants of ONE
+        frame.  All augs run the backbone as one batch; returns
+        fc1 (A, P, D) over the frame's aug-merged proposal set, plus the
+        merged boxes (P, 4) in original-image coordinates and their mask."""
+        batch = jnp.concatenate(list(imgs), axis=0)
+        h, w = batch.shape[1], batch.shape[2]
+        c5, cls_map, reg_map = self._frame_backbone_fn(h, w)(params, batch)
+        return self._frame_post_aug_fn(h, w, tuple(flips))(
+            params, c5, cls_map, reg_map,
+            jnp.asarray(np.asarray(img_shapes), jnp.float32),
+            jnp.asarray(np.asarray(pad_shapes), jnp.float32),
+            jnp.asarray(np.asarray(scale_factors), jnp.float32))
+
+    @functools.lru_cache(maxsize=4)
+    def _window_aug_fn(self, t_dim: int, key_dim: int,
+                       flips: Tuple[bool, ...], branch=None):
+        """Aug-merged window detection (reference test_mixins.py:102-110 +
+        merge_augs.py:40-66): per-aug head predictions over the SAME merged
+        proposals decode in aug coordinates, map back, average, then one
+        multiclass NMS."""
+        from ..core.merge_augs import merge_aug_bboxes
+        from ..ops.boxes import bbox_mapping
+        from ..ops.nms import multiclass_nms_static
+        rcnn_cfg = self.test_cfg["rcnn"]
+        P = self.proposal_num
+        logits = self._window_logits(t_dim, key_dim, branch)
+
+        def fn(params, fc1_stacks, boxes_ori, masks, img_shapes,
+               scale_factors):
+            valid = masks.reshape(t_dim * P)
+            aug_boxes, aug_scores, metas = [], [], []
+            for a, flip in enumerate(flips):
+                cls, reg = logits(params,
+                                  fc1_stacks[a].reshape(t_dim * P, -1), valid)
+                scores = jax.nn.softmax(cls.astype(jnp.float32), axis=-1)
+                key_boxes_a = bbox_mapping(boxes_ori[key_dim], img_shapes[a],
+                                           scale_factors[a], flip)
+                bboxes = delta2bbox(key_boxes_a, reg.astype(jnp.float32),
+                                    self.target_means, self.target_stds,
+                                    img_shapes[a])
+                aug_boxes.append(bboxes)
+                aug_scores.append(scores)
+                metas.append(dict(img_shape=img_shapes[a],
+                                  scale_factor=scale_factors[a], flip=flip))
+            merged_b, merged_s = merge_aug_bboxes(aug_boxes, aug_scores,
+                                                  metas, rcnn_cfg)
+            return multiclass_nms_static(
+                merged_b, merged_s, float(rcnn_cfg["score_thr"]),
+                float(rcnn_cfg["nms"]["iou_thr"]),
+                int(rcnn_cfg["max_per_img"]), valid=masks[key_dim])
+
+        return jax.jit(fn)
+
+    def window_detect_aug(self, params, fc1_stacks, boxes_ori, masks,
+                          img_shapes, scale_factors, flips, branch=None):
+        """fc1_stacks: (A, T, P, D); boxes_ori: (T, P, 4) merged original-
+        coordinate proposals; masks: (T, P).  Returns (dets, labels, mask)
+        in original-image coordinates."""
+        t = fc1_stacks.shape[1]
+        fn = self._window_aug_fn(t, self.key_dim, tuple(flips), branch)
+        return fn(params, fc1_stacks, boxes_ori, masks,
+                  jnp.asarray(np.asarray(img_shapes), jnp.float32),
+                  jnp.asarray(np.asarray(scale_factors), jnp.float32))
+
     # ------------------------------------------------- batched frame program
     @functools.lru_cache(maxsize=8)
     def _frame_post_batched_fn(self, canvas_h: int, canvas_w: int):
@@ -360,6 +468,16 @@ class SelsaRCNN(_RingMixin, BaseEngine):
         self.window = (2 * int(self.test_cfg["relation_setup"]["frame_interval"]) + 1
                        if self.test_cfg else None)
 
+    def _window_logits(self, t_dim: int, key_dim: int, branch=None):
+        mod = self.module
+        P = self.proposal_num
+
+        def fn(params, fc1, valid):
+            return mod.apply(params, fc1, key_dim * P, P, valid,
+                             method=mod.bbox_forward_fc1)
+
+        return fn
+
     def _window_body(self, t_dim: int, key_dim: int, branch=None):
         mod = self.module
         rcnn_cfg = self.test_cfg["rcnn"]
@@ -416,6 +534,18 @@ class HNMBRCNN(_RingMixin, BaseEngine):
             self.key_dim = int(self.test_cfg["bbox_head"]["key_dim"])
         self.window = (2 * int(self.test_cfg["relation_setup"]["frame_interval"]) + 1
                        if self.test_cfg else None)
+
+    def _window_logits(self, t_dim: int, key_dim: int, branch=None):
+        mod = self.module
+        P = self.proposal_num
+        b = -1 if branch is None else branch
+
+        def fn(params, fc1, valid):
+            cls_list, reg_list = mod.apply(params, fc1, key_dim * P, P, valid,
+                                           method=mod.bbox_forward_fc1)
+            return cls_list[b], reg_list[b]
+
+        return fn
 
     def _window_body(self, t_dim: int, key_dim: int, branch=None):
         """branch=None decodes every head branch (the reference decodes
@@ -509,6 +639,79 @@ class FasterRCNN(BaseEngine):
         return fn(params, img, jnp.asarray(img_shape, jnp.float32),
                   jnp.asarray(pad_shape, jnp.float32),
                   jnp.asarray(scale_factor, jnp.float32))
+
+
+    @functools.lru_cache(maxsize=4)
+    def _aug_test_fn(self, canvas_h: int, canvas_w: int,
+                     flips: Tuple[bool, ...]):
+        """Multi-scale-flip aug test for the still-image path (reference
+        two_stage.py:301 aug_test + test_mixins.py:15-110): per-aug RPN
+        proposals merge in original coords, the merged set pools in every
+        aug, per-aug head outputs decode + map back + average, one NMS."""
+        from ..core.merge_augs import merge_aug_bboxes, merge_aug_proposals
+        from ..ops.boxes import bbox_mapping
+        from ..ops.nms import multiclass_nms_static
+        canvas = self._canvas(canvas_h, canvas_w)
+        rpn_cfg = self.test_cfg["rpn"]
+        rcnn_cfg = self.test_cfg["rcnn"]
+        mod = self.module
+        has_shared = bool(self.model_cfg.get("shared_head"))
+
+        def fn(params, imgs, img_shapes, pad_shapes, scale_factors):
+            c4 = mod.apply(params, imgs, method=mod.extract_feat)
+            c5 = mod.apply(params, c4, method=mod.shared) if has_shared else c4
+            cls_map, reg_map = mod.apply(params, c4, method=mod.rpn)
+            props, pmasks, metas = [], [], []
+            for a, flip in enumerate(flips):
+                b, sc, m = _rpn_proposals(
+                    cls_map[a], reg_map[a], canvas, pad_shapes[a],
+                    img_shapes[a], rpn_cfg, self.rpn_means, self.rpn_stds)
+                props.append(jnp.concatenate([b, sc[:, None]], axis=1))
+                pmasks.append(m)
+                metas.append(dict(img_shape=img_shapes[a],
+                                  scale_factor=scale_factors[a], flip=flip))
+            merged, mmask = merge_aug_proposals(props, metas, rpn_cfg, pmasks)
+            aug_boxes, aug_scores = [], []
+            for a, flip in enumerate(flips):
+                boxes_a = bbox_mapping(merged[:, :4], img_shapes[a],
+                                       scale_factors[a], flip)
+                rois = jnp.concatenate(
+                    [jnp.zeros((boxes_a.shape[0], 1), boxes_a.dtype),
+                     boxes_a], axis=1)
+                pooled = self.roi_extractor([c5[a:a + 1]], rois)
+                cls, reg = mod.apply(params, pooled, 0, rois.shape[0], mmask,
+                                     method=mod.bbox_forward)
+                scores = jax.nn.softmax(cls.astype(jnp.float32), axis=-1)
+                if reg.shape[-1] == 4:
+                    deltas = reg.astype(jnp.float32)
+                else:
+                    lbl = jnp.argmax(scores[:, 1:], axis=1) + 1
+                    deltas = jnp.take_along_axis(
+                        reg.astype(jnp.float32).reshape(reg.shape[0], -1, 4),
+                        lbl[:, None, None], axis=1)[:, 0]
+                bboxes = delta2bbox(boxes_a, deltas, self.target_means,
+                                    self.target_stds, img_shapes[a])
+                aug_boxes.append(bboxes)
+                aug_scores.append(scores)
+            merged_b, merged_s = merge_aug_bboxes(aug_boxes, aug_scores,
+                                                  metas, rcnn_cfg)
+            return multiclass_nms_static(
+                merged_b, merged_s, float(rcnn_cfg["score_thr"]),
+                float(rcnn_cfg["nms"]["iou_thr"]),
+                int(rcnn_cfg["max_per_img"]), valid=mmask)
+
+        return jax.jit(fn)
+
+    def aug_test(self, params, imgs, img_shapes, pad_shapes, scale_factors,
+                 flips):
+        """imgs: list of (1, H, W, 3) per-aug canvas-padded variants.
+        Returns (dets, labels, mask) in original-image coordinates."""
+        batch = jnp.concatenate(list(imgs), axis=0)
+        fn = self._aug_test_fn(batch.shape[1], batch.shape[2], tuple(flips))
+        return fn(params, batch,
+                  jnp.asarray(np.asarray(img_shapes), jnp.float32),
+                  jnp.asarray(np.asarray(pad_shapes), jnp.float32),
+                  jnp.asarray(np.asarray(scale_factors), jnp.float32))
 
 
 @DETECTORS.register_module

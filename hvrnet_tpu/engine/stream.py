@@ -27,8 +27,15 @@ def _canvas_for(pad_shape, max_long=1008, max_short=608):
 
 
 def test_frame_stream(dataset, rank: int = 0, max_long: int = 1008,
-                      max_short: int = 608) -> Iterator[Dict]:
-    """Yield runner-format frames for one rank's whole-video shard."""
+                      max_short: int = 608, aug_flip: bool = False
+                      ) -> Iterator[Dict]:
+    """Yield runner-format frames for one rank's whole-video shard.
+
+    With ``aug_flip`` each frame also carries its horizontally-flipped
+    variant (``img_augs``/``flips``) for flip-augmented testing — the
+    MultiScaleFlipAug(flip=True) operating point of the reference
+    (datasets/pipelines/test_aug.py:8); the flip happens on the resized,
+    normalized image BEFORE canvas padding, matching the pipeline order."""
     import jax.numpy as jnp
     indices = dataset.indices_list[rank]
     for idx in indices:
@@ -37,7 +44,7 @@ def test_frame_stream(dataset, rank: int = 0, max_long: int = 1008,
         img = item["img"].astype(np.float32)
         ch, cw = _canvas_for(meta["pad_shape"], max_long, max_short)
         img_c = pad_to_canvas(img, (ch, cw))
-        yield dict(
+        out = dict(
             img=jnp.asarray(img_c[None]),
             img_shape=np.asarray(meta["img_shape"][:2], np.float32),
             pad_shape=np.asarray(meta["pad_shape"][:2], np.float32),
@@ -46,6 +53,16 @@ def test_frame_stream(dataset, rank: int = 0, max_long: int = 1008,
             frame_offset=int(meta["frame_offset"]),
             seg_len=int(meta["seg_len"]),
             frame_start_id=int(meta["frame_start_id"]))
+        if aug_flip:
+            # flip around the VALID image width (the reference flips before
+            # Pad, transforms.py:RandomFlip), leaving the pad at the right
+            iw = int(round(float(meta["img_shape"][1])))
+            img_f = img.copy()
+            img_f[:, :iw] = img_f[:, :iw][:, ::-1]
+            out["img_augs"] = [out["img"],
+                               jnp.asarray(pad_to_canvas(img_f, (ch, cw))[None])]
+            out["flips"] = (False, True)
+        yield out
 
 
 def collate_train(frames: Sequence[Dict], canvas_hw, gt_max: int = 32) -> Dict:

@@ -45,9 +45,13 @@ class SlidingWindowRunner:
     def __init__(self, engine, params, window: Optional[int] = None,
                  branch: int = -1, progress_hook=None,
                  use_ring: Optional[bool] = None, timer=None,
-                 prepad_provider=None):
+                 prepad_provider=None, aug: bool = False):
         self.engine = engine
         self.params = params
+        # multi-scale-flip augmented testing (reference test_mixins.py:15-110
+        # via MultiScaleFlipAug): frames arrive as per-aug variants, per-frame
+        # proposals merge across augs, per-aug head scores average at decode
+        self.aug = aug
         self.window = window or engine.window
         self.key_dim = (self.window - 1) // 2
         self.branch = branch            # which head branch to keep (HVRNet)
@@ -61,7 +65,7 @@ class SlidingWindowRunner:
         if use_ring is None:
             use_ring = (hasattr(engine, "ring_reset")
                         and self.window == engine.window)
-        self.use_ring = use_ring
+        self.use_ring = use_ring and not aug   # aug path stacks host-side
         # t_data/t_net-style phase accounting the reference computed but
         # never surfaced (tools/test.py:55-56,195-196)
         self.timer = timer
@@ -131,6 +135,14 @@ class SlidingWindowRunner:
                                                   m["img_shape"],
                                                   m["scale_factor"],
                                                   branch=self.device_branch)
+                elif self.aug:
+                    fc1 = jnp.stack([c["fc1"] for c in cache], axis=1)
+                    boxes = jnp.stack([c["boxes"] for c in cache])
+                    masks = jnp.stack([c["mask"] for c in cache])
+                    out = self.engine.window_detect_aug(
+                        self.params, fc1, boxes, masks, m["img_shapes"],
+                        m["scale_factors"], m["flips"],
+                        branch=self.device_branch)
                 else:
                     fc1 = jnp.stack([c["fc1"] for c in cache])
                     boxes = jnp.stack([c["boxes"] for c in cache])
@@ -156,12 +168,24 @@ class SlidingWindowRunner:
         for frame in frame_stream:
             flag = frame["key_frame_flag"]
             with (self.timer.phase("frame_features") if self.timer else nullctx()):
-                feats = self.engine.frame_features(
-                    self.params, frame["img"], frame["img_shape"],
-                    frame["pad_shape"])
+                if self.aug:
+                    A = len(frame["img_augs"])
+                    feats = self.engine.frame_features_aug(
+                        self.params, frame["img_augs"],
+                        [frame["img_shape"]] * A, [frame["pad_shape"]] * A,
+                        [frame["scale_factor"]] * A, frame["flips"])
+                else:
+                    feats = self.engine.frame_features(
+                        self.params, frame["img"], frame["img_shape"],
+                        frame["pad_shape"])
             fmeta = dict(img_shape=frame["img_shape"],
                          scale_factor=frame["scale_factor"],
                          frame_start_id=frame["frame_start_id"])
+            if self.aug:
+                A = len(frame["img_augs"])
+                fmeta.update(img_shapes=[frame["img_shape"]] * A,
+                             scale_factors=[frame["scale_factor"]] * A,
+                             flips=tuple(frame["flips"]))
             if flag == 0:      # new video: reset + front-pad
                 if self.use_ring:
                     ring_state = self.engine.ring_reset(

@@ -35,6 +35,10 @@ def parse_args():
     p.add_argument("--window", type=int, default=None,
                    help="override sliding-window length")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--aug-test", action="store_true",
+                   help="flip-augmented testing (MultiScaleFlipAug flip=True"
+                        " semantics: per-frame proposal merge + per-aug score"
+                        " averaging)")
     p.add_argument("--trace", default=None,
                    help="capture a jax.profiler trace to this directory")
     p.add_argument("--timing", action="store_true",
@@ -106,11 +110,12 @@ def main():
     timer = PhaseTimer() if args.timing else None
     runner = SlidingWindowRunner(engine, params, window=args.window,
                                  branch=args.branch, progress_hook=progress,
-                                 timer=timer)
+                                 timer=timer, aug=args.aug_test)
     trace_ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
     with trace_ctx:
         results = runner.run(
-            prefetch_stream(test_frame_stream(dataset, rank=args.rank)),
+            prefetch_stream(test_frame_stream(dataset, rank=args.rank,
+                                              aug_flip=args.aug_test)),
             num_frames=len(dataset))
     if timer is not None:
         print(timer.summary())
