@@ -46,6 +46,74 @@ def build_engine(model: str):
     return SelsaRCNN(cfg.model, None, cfg.test_cfg, dtype=jnp.bfloat16)
 
 
+REAL_DATA_PIPELINE = [
+    dict(type="LoadImageFromFile"),
+    dict(type="Resize", img_scale=(1000, 600), keep_ratio=True),
+    dict(type="RandomFlip", flip_ratio=0),
+    dict(type="Normalize", mean=[103.06, 115.90, 123.15],
+         std=[1.0, 1.0, 1.0], to_rgb=False),
+    dict(type="Pad", size_divisor=16),
+    dict(type="Collect", keys=["img"]),
+]
+
+
+def synth_video_dir(root: str, n_frames: int, src_h: int = 540,
+                    src_w: int = 960) -> str:
+    """Write one synthetic video (JPEG frames + minimal VOC XML + imageset)
+    so the REAL host path runs: JPEG decode → resize → normalize → pad.
+    Noise frames are the worst case for the JPEG decoder (no entropy win)."""
+    import os
+    import xml.etree.ElementTree as ET
+    import cv2
+    vpath = "val/BENCH_val_00000000"
+    jdir = os.path.join(root, "JPEGImages", vpath)
+    adir = os.path.join(root, "Annotations", vpath)
+    os.makedirs(jdir, exist_ok=True)
+    os.makedirs(adir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n_frames):
+        img = rng.integers(0, 255, (src_h, src_w, 3)).astype(np.uint8)
+        cv2.imwrite(os.path.join(jdir, f"{i:06d}.JPEG"), img)
+        ann = ET.Element("annotation")
+        size = ET.SubElement(ann, "size")
+        ET.SubElement(size, "width").text = str(src_w)
+        ET.SubElement(size, "height").text = str(src_h)
+        ET.ElementTree(ann).write(os.path.join(adir, f"{i:06d}.xml"))
+    iset = os.path.join(root, "ImageSets")
+    os.makedirs(iset, exist_ok=True)
+    ann_file = os.path.join(iset, "VID_val_videos.txt")
+    with open(ann_file, "w") as f:
+        f.write(f"{vpath} 1 0 {n_frames}\n")
+    return ann_file
+
+
+def run_real_data(engine, params, n_frames: int):
+    """End-to-end fps on on-disk JPEG video through the full host pipeline +
+    prefetch + SlidingWindowRunner (VERDICT weak #5: the device-only bench
+    never measured decode/prefetch overlap)."""
+    import tempfile
+    from hvrnet_tpu.data import VIDSeqDataset
+    from hvrnet_tpu.engine import SlidingWindowRunner
+    from hvrnet_tpu.engine.stream import prefetch_stream, test_frame_stream
+
+    root = tempfile.mkdtemp(prefix="hvrnet_bench_vid_")
+    ann_file = synth_video_dir(root, n_frames)
+    ds = VIDSeqDataset(ann_file=ann_file, img_prefix=root,
+                       pipeline=REAL_DATA_PIPELINE, test_mode=True,
+                       world_size=1)
+    runner = SlidingWindowRunner(engine, params, branch=-1)
+    # pass 1 compiles every program; pass 2 is the steady-state measurement
+    runner.run(prefetch_stream(test_frame_stream(ds, rank=0)),
+               num_frames=len(ds))
+    ds2 = VIDSeqDataset(ann_file=ann_file, img_prefix=root,
+                        pipeline=REAL_DATA_PIPELINE, test_mode=True,
+                        world_size=1)
+    t0 = time.perf_counter()
+    runner.run(prefetch_stream(test_frame_stream(ds2, rank=0)),
+               num_frames=len(ds2))
+    return len(ds2) / (time.perf_counter() - t0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", choices=["hvrnet", "selsa"], default="hvrnet")
@@ -53,6 +121,10 @@ def main():
     ap.add_argument("--window", type=int, default=None,
                     help="override the cache length (e.g. 63 for the "
                          "3-branch HVRNet point)")
+    ap.add_argument("--real-data", action="store_true",
+                    help="measure end-to-end on an on-disk JPEG video "
+                         "(host decode + pipeline + prefetch + runner) "
+                         "instead of the device-path synthetic frame")
     args = ap.parse_args()
 
     import os
@@ -71,6 +143,17 @@ def main():
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         params = engine.init_params(jax.random.PRNGKey(0))
     params = jax.device_put(params, jax.devices()[0])
+
+    if args.real_data:
+        fps = run_real_data(engine, params, args.frames)
+        name = (f"{args.model}_r101_vid_e2e_throughput")
+        print(json.dumps({
+            "metric": name,
+            "value": round(fps, 3),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(fps / BASELINE_FPS, 3),
+        }))
+        return
 
     H, W = 608, 1008
     T = engine.window

@@ -330,9 +330,17 @@ class _RingMixin:
     def ring_push(self, state, feats):
         return self._ring_push_fn(self.window)(state, feats)
 
+    def _body_for(self, t_dim: int, key_dim: int, branch, passes):
+        """Window body honoring an engine's multi-pass mode (HNMB only;
+        engines without the option ignore a falsy ``passes``)."""
+        if passes:
+            return self._window_body(t_dim, key_dim, branch, passes)
+        return self._window_body(t_dim, key_dim, branch)
+
     @functools.lru_cache(maxsize=4)
-    def _ring_detect_fn(self, t_dim: int, key_dim: int, branch=None):
-        body = self._window_body(t_dim, key_dim, branch)
+    def _ring_detect_fn(self, t_dim: int, key_dim: int, branch=None,
+                        passes=None):
+        body = self._body_for(t_dim, key_dim, branch, passes)
 
         def fn(params, state, img_shape, scale_factor):
             shift = -(state["pos"] + 1)
@@ -347,14 +355,15 @@ class _RingMixin:
                     key_dim: Optional[int] = None, branch=None):
         fn = self._ring_detect_fn(self.window,
                                   self.key_dim if key_dim is None else key_dim,
-                                  branch)
+                                  branch, getattr(self, "multi_pass", None))
         return fn(params, state, jnp.asarray(img_shape, jnp.float32),
                   jnp.asarray(scale_factor, jnp.float32))
 
     @functools.lru_cache(maxsize=4)
-    def _ring_step_fn(self, t_dim: int, key_dim: int, branch=None):
+    def _ring_step_fn(self, t_dim: int, key_dim: int, branch=None,
+                      passes=None):
         """Fused push + detect: one dispatch for the whole window stage."""
-        body = self._window_body(t_dim, key_dim, branch)
+        body = self._body_for(t_dim, key_dim, branch, passes)
 
         def fn(params, state, feats, img_shape, scale_factor):
             pos = (state["pos"] + 1) % t_dim
@@ -382,7 +391,7 @@ class _RingMixin:
         """Push a frame's caches AND detect the window center in one program."""
         fn = self._ring_step_fn(self.window,
                                 self.key_dim if key_dim is None else key_dim,
-                                branch)
+                                branch, getattr(self, "multi_pass", None))
         return fn(params, state, feats,
                   jnp.asarray(img_shape, jnp.float32),
                   jnp.asarray(scale_factor, jnp.float32))
@@ -435,8 +444,8 @@ class _RingMixin:
 
     @functools.lru_cache(maxsize=4)
     def _ring_detect_batched_fn(self, t_dim: int, key_dim: int,
-                                branch=None):
-        body = self._window_body(t_dim, key_dim, branch)
+                                branch=None, passes=None):
+        body = self._body_for(t_dim, key_dim, branch, passes)
 
         def one(params, state, img_shape, scale_factor):
             shift = -(state["pos"] + 1)
@@ -450,7 +459,8 @@ class _RingMixin:
     def ring_detect_batched(self, params, state, img_shapes, scale_factors,
                             key_dim: Optional[int] = None, branch=None):
         fn = self._ring_detect_batched_fn(
-            self.window, self.key_dim if key_dim is None else key_dim, branch)
+            self.window, self.key_dim if key_dim is None else key_dim, branch,
+            getattr(self, "multi_pass", None))
         return fn(params, state, jnp.asarray(img_shapes, jnp.float32),
                   jnp.asarray(scale_factors, jnp.float32))
 
@@ -547,7 +557,15 @@ class HNMBRCNN(_RingMixin, BaseEngine):
 
         return fn
 
-    def _window_body(self, t_dim: int, key_dim: int, branch=None):
+    #: when set to an int P, window_detect runs the head's multi-pass test
+    #: graph (`forward_test_multi_passes`, hrnmp_bbox_head.py:911-967) with
+    #: the window split into P equal frame segments; the head then emits one
+    #: prediction set (no branch averaging).  None = the default spliced
+    #: single-pass graph (`forward_test:800-909`).
+    multi_pass: Optional[int] = None
+
+    def _window_body(self, t_dim: int, key_dim: int, branch=None,
+                     passes: Optional[int] = None):
         """branch=None decodes every head branch (the reference decodes
         branch AND final, hrnmp_bbox_head.py:1020-1052); an int decodes only
         that branch on device — the runner stores a single branch, so the
@@ -559,10 +577,16 @@ class HNMBRCNN(_RingMixin, BaseEngine):
         def fn(params, fc1_stack, boxes, masks, img_shape, scale_factor):
             fc1 = fc1_stack.reshape(t_dim * P, -1)
             valid = masks.reshape(t_dim * P)
-            cls_list, reg_list = mod.apply(params, fc1, key_dim * P, P, valid,
-                                           method=mod.bbox_forward_fc1)
+            if passes:
+                cls_list, reg_list = mod.apply(
+                    params, fc1, (t_dim // passes) * P, key_dim * P, P, valid,
+                    method=mod.bbox_forward_fc1_multi_pass)
+            else:
+                cls_list, reg_list = mod.apply(
+                    params, fc1, key_dim * P, P, valid,
+                    method=mod.bbox_forward_fc1)
             pairs = list(zip(cls_list, reg_list))
-            if branch is not None:
+            if branch is not None and not passes:
                 pairs = [pairs[branch]]
             outs = []
             for cls, reg in pairs:
@@ -570,20 +594,24 @@ class HNMBRCNN(_RingMixin, BaseEngine):
                     boxes[key_dim], cls, reg, img_shape, scale_factor,
                     self.target_means, self.target_stds, rescale=True,
                     cfg=rcnn_cfg, valid=masks[key_dim]))
-            return outs[0] if branch is not None else outs
+            return outs[0] if (branch is not None or passes) else outs
 
         return fn
 
     @functools.lru_cache(maxsize=4)
-    def _window_fn(self, t_dim: int, key_dim: int, branch=None):
-        return jax.jit(self._window_body(t_dim, key_dim, branch))
+    def _window_fn(self, t_dim: int, key_dim: int, branch=None,
+                   passes: Optional[int] = None):
+        return jax.jit(self._window_body(t_dim, key_dim, branch, passes))
 
     def window_detect(self, params, fc1_stack, boxes, masks, img_shape,
                       scale_factor, key_dim: Optional[int] = None,
                       branch=None):
         t = fc1_stack.shape[0]
+        passes = self.multi_pass
+        if passes:
+            assert t % passes == 0, (t, passes)
         fn = self._window_fn(t, self.key_dim if key_dim is None else key_dim,
-                             branch)
+                             branch, passes)
         return fn(params, fc1_stack, boxes, masks,
                   jnp.asarray(img_shape, jnp.float32),
                   jnp.asarray(scale_factor, jnp.float32))

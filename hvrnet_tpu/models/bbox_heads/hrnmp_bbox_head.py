@@ -257,6 +257,62 @@ class HRNMPBBoxHead(nn.Module):
         fc1 = self.precompute_fc1(bbox_feat)
         return self.forward_fc1(fc1, cur_start, cur_len, valid_mask)
 
+    def forward_test_multi_passes(self, bbox_feat: jnp.ndarray, pass_len: int,
+                                  cur_start: int, cur_len: int,
+                                  valid_mask: Optional[jnp.ndarray] = None):
+        """Alternative multi-pass test graph (`forward_test_multi_passes`,
+        hrnmp_bbox_head.py:911-967 — present upstream but its call sites are
+        commented out, hnmb_rcnn.py:601 / hnl_rcnn.py:344).
+
+        The cached window rows are split into equal passes (the reference
+        derives ``cur_range_multi`` from ``test_branches`` segments,
+        hnmb_rcnn.py:592-595); NL1/NL2 run per pass independently, the pass
+        outputs are concatenated, and a single NL3 with key-row queries
+        (idx_output_cur_only=True) feeds the FINAL cls/reg fcs directly —
+        NL4 and the branch predictions are not used, so the returned lists
+        have one element and ``get_det_bboxes``'s score averaging reduces to
+        the final scores.
+
+        Args:
+            bbox_feat: (N, 7, 7, C) cached RoI features, pass-major order.
+            pass_len: static rows per pass (N must be divisible by it).
+            cur_start/cur_len: key-frame rows in the CONCATENATED layout
+                (cur_range_s[0] in the reference).
+        """
+        fc1_all = self.precompute_fc1(bbox_feat)
+        return self.forward_fc1_multi_passes(fc1_all, pass_len, cur_start,
+                                             cur_len, valid_mask)
+
+    def forward_fc1_multi_passes(self, fc1_all: jnp.ndarray, pass_len: int,
+                                 cur_start: int, cur_len: int,
+                                 valid_mask: Optional[jnp.ndarray] = None):
+        """Multi-pass body from cached fc_new_1 rows (fc_new_1 is row-wise, so
+        per-pass projection of raw features ≡ slicing precomputed rows)."""
+        N = fc1_all.shape[0]
+        assert N % pass_len == 0, (N, pass_len)
+        nongt_pass = min(self.sampler_num * self.t_dim, pass_len)
+        pass_feats = []
+        for p in range(N // pass_len):
+            fc1 = jax.lax.slice_in_dim(fc1_all, p * pass_len, (p + 1) * pass_len)
+            vmask = (valid_mask[p * pass_len:(p + 1) * pass_len]
+                     if valid_mask is not None else None)
+            kmask = vmask[:nongt_pass] if vmask is not None else None
+            att1 = self.selsa_1(fc1, fc1[:nongt_pass], kmask)
+            fc_all_1 = nn.relu(fc1 + att1)
+            fc2 = self.fc_new_2(fc_all_1)
+            att2 = self.selsa_2(fc2, fc2[:nongt_pass], kmask)
+            pass_feats.append(nn.relu(fc2 + att2))
+
+        video_feats = jnp.concatenate(pass_feats, axis=0)       # (N, D)
+        nongt = min(self.sampler_num * self.t_dim, N)
+        kmask3 = valid_mask[:nongt] if valid_mask is not None else None
+        fc3 = self.fc_new_3(video_feats)
+        q3 = jax.lax.slice_in_dim(fc3, cur_start, cur_start + cur_len)
+        att3 = self.selsa_3(q3, fc3[:nongt], kmask3)
+        fc_all_3 = nn.relu(q3 + att3)
+        cls_final, reg_final = self._branch(fc_all_3, final=True)
+        return [cls_final], [reg_final]
+
     def __call__(self, bbox_feat, *args, mode: str = "test", **kw):
         if mode == "train":
             return self.forward_train(bbox_feat, *args, **kw)

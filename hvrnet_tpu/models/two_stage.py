@@ -89,6 +89,11 @@ class TwoStageModule(nn.Module):
         return self.bbox_head_m.forward_fc1(fc1, cur_start, cur_len,
                                             valid_mask, **kw)
 
+    def bbox_forward_fc1_multi_pass(self, fc1, pass_len: int, cur_start: int,
+                                    cur_len: int, valid_mask=None):
+        return self.bbox_head_m.forward_fc1_multi_passes(
+            fc1, pass_len, cur_start, cur_len, valid_mask)
+
     def bbox_forward(self, pooled, *args, **kw):
         return self.bbox_head_m(pooled, *args, **kw)
 

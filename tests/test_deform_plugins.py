@@ -81,5 +81,45 @@ def test_plugins_shapes():
         params = mod.init(jax.random.PRNGKey(0), x)
         y = mod.apply(params, x)
         assert y.shape == x.shape
-        # zero-init output projections ⇒ identity at init
+        # zero/gamma-init output projections ⇒ identity at init
         np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
+
+def test_backbone_with_plugins():
+    """Bottleneck plugin wiring (reference resnet.py:86-267): DCN replaces
+    conv2, gen_attention after conv2, GCB after conv3, per-stage flags;
+    with zero-init offsets + gamma=0 the plugin-enabled backbone equals the
+    plain one at init, and with_cp (remat) is output-invariant."""
+    from hvrnet_tpu.models.backbones.resnet import ResNet
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(1, 32, 48, 3)).astype(np.float32))
+    common = dict(depth=50, num_stages=2, strides=(1, 2), dilations=(1, 1),
+                  out_indices=(1,), frozen_stages=-1, style="caffe")
+    plain = ResNet(**common)
+    p_plain = plain.init(jax.random.PRNGKey(0), x)
+
+    plugged = ResNet(**common,
+                     dcn=dict(modulated=False, deformable_groups=1,
+                              fallback_on_stride=False),
+                     stage_with_dcn=(False, True),
+                     gcb=dict(ratio=0.25),
+                     stage_with_gcb=(False, True),
+                     gen_attention=dict(spatial_range=-1, num_heads=4,
+                                        attention_type="1111", kv_stride=2),
+                     stage_with_gen_attention=((), (0, 2)))
+    p_plug = plugged.init(jax.random.PRNGKey(0), x)
+    flat = [("/".join(str(k.key) for k in path))
+            for path, _ in jax.tree_util.tree_flatten_with_path(p_plug)[0]]
+    assert any("conv2_offset" in n for n in flat)
+    assert any("gen_attention_block" in n for n in flat)
+    assert any("context_block" in n for n in flat)
+
+    y_plug = plugged.apply(p_plug, x)[0]
+    assert y_plug.shape == plain.apply(p_plain, x)[0].shape
+
+    # remat path is numerically identical
+    remat = ResNet(**common, with_cp=True)
+    p_remat = remat.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(remat.apply(p_remat, x)[0]),
+                               np.asarray(plain.apply(p_plain, x)[0]),
+                               rtol=1e-5, atol=1e-5)

@@ -65,6 +65,37 @@ def test_hnmb_sliding_window_both_branches():
         assert flat.shape != flat0.shape or not np.allclose(flat, flat0)
 
 
+def test_hnmb_multi_pass_window():
+    """engine.multi_pass=P runs the head's multi-pass test graph
+    (forward_test_multi_passes): one prediction set per frame, and the
+    results differ from the spliced single-pass graph (different network)."""
+    model_cfg, test_cfg = tiny_hnmb_cfg(window_interval=1, proposals=8)
+    window = 9   # 3 passes × 3 frames
+    test_cfg["bbox_head"]["t_dim"] = window
+    test_cfg["bbox_head"]["key_dim"] = (window - 1) // 2
+    engine = HNMBRCNN(model_cfg, None, test_cfg)
+    engine.window = window
+    engine.key_dim = (window - 1) // 2
+    params = engine.init_params(jax.random.PRNGKey(2))
+    n = 11
+
+    engine.multi_pass = 3
+    runner = SlidingWindowRunner(engine, params, window=window, branch=-1)
+    results = runner.run(synthetic_stream(n), num_frames=n)
+    assert all(r is not None for r in results)
+    assert all(len(r) == 30 for r in results)
+
+    engine.multi_pass = None
+    runner1 = SlidingWindowRunner(engine, params, window=window, branch=-1)
+    results1 = runner1.run(synthetic_stream(n), num_frames=n)
+    flat = np.concatenate([np.concatenate([c.reshape(-1) for c in r])
+                           for r in results])
+    flat1 = np.concatenate([np.concatenate([c.reshape(-1) for c in r])
+                            for r in results1])
+    if flat.size and flat1.size:
+        assert flat.shape != flat1.shape or not np.allclose(flat, flat1)
+
+
 def test_hnmb_extended_window_point():
     """The 63-frame-analog operating point (SURVEY §3.2): cache length and
     head t_dim derived as one quantity (here 9 = 3 branches × base window 3,

@@ -111,6 +111,49 @@ def test_hrnmp_test_forward_matches_reference_equations():
     np.testing.assert_allclose(np.asarray(reg_f), ref_reg_f, rtol=1e-4, atol=1e-4)
 
 
+def test_hrnmp_multi_pass_matches_reference_equations():
+    """forward_test_multi_passes (hrnmp_bbox_head.py:911-967): NL1/NL2 per
+    pass segment, concat, NL3 with key-row queries, final fcs only."""
+    rng = np.random.default_rng(7)
+    T, P, passes = 6, 4, 2
+    N = T * P
+    head = HRNMPBBoxHead(sampler_num=P, t_dim=T, imgs_per_video=3,
+                         fc_feat_dim=D, dim=(D, D, D), in_channels=C,
+                         num_classes=NCLS, reg_class_agnostic=True)
+    feats = jnp.asarray(rng.normal(size=(N, 7, 7, C)).astype(np.float32))
+    params = head.init(jax.random.PRNGKey(0), feats, 0, P)
+    key_dim = 1
+    s, l = key_dim * P, P
+    pass_len = N // passes
+    (cls_list, reg_list) = head.apply(params, feats, pass_len, s, l,
+                                      method=head.forward_test_multi_passes)
+    assert len(cls_list) == 1 and len(reg_list) == 1
+
+    p = to_np(params["params"])
+    x = np.asarray(feats, np.float64).reshape(N, -1)
+    nongt = min(P * T, pass_len)
+    segs = []
+    for i in range(passes):
+        seg = x[i * pass_len:(i + 1) * pass_len]
+        fc1 = np_linear(p["fc_new_1"], seg)
+        att1 = np_nl_block(p["selsa_1"], fc1, fc1[:nongt], D)
+        fc_all_1 = relu(fc1 + att1)
+        fc2 = np_linear(p["fc_new_2"], fc_all_1)
+        att2 = np_nl_block(p["selsa_2"], fc2, fc2[:nongt], D)
+        segs.append(relu(fc2 + att2))
+    video_feats = np.concatenate(segs, axis=0)
+    fc3 = np_linear(p["fc_new_3"], video_feats)
+    att3 = np_nl_block(p["selsa_3"], fc3[s:s + l], fc3[:P * T], D)
+    fc_all_3 = relu(fc3[s:s + l] + att3)
+    ref_cls = np_linear(p["fc_cls_2"], fc_all_3)
+    ref_reg = np_linear(p["fc_reg_2"], fc_all_3)
+
+    np.testing.assert_allclose(np.asarray(cls_list[0]), ref_cls,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(reg_list[0]), ref_reg,
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_selsa_query_restriction_is_exact():
     """Block-2 computing only key-frame queries must equal computing all
     rows then slicing (the reference's order, selsa_bbox_head.py:238-254)."""

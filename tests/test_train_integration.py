@@ -45,6 +45,93 @@ def test_train_detector_epoch_loop(mini_vid, tmp_path):  # noqa: F811
     assert int(restored.step) == 2
 
 
+def test_training_improves_map_on_fixture(mini_vid):  # noqa: F811
+    """Detection-quality sanity (beyond loss-decreases): overfitting one
+    fixture batch must raise mAP@0.3 on that batch's key frame from the
+    random-init level (0) to ≥0.5.  This is the strongest trainability proxy
+    that runs in CI without a pretrained backbone; the coarse IoU threshold
+    reflects what a random-init tiny backbone can localize on noise images —
+    the real mAP@0.5 target needs the pretrained R101 (BASELINE.md).
+
+    Operating-point notes: the 64×96 canvas needs anchor scales [1,2,4,8]
+    (the config's stride-16 scales 4-32 give 64-512 px anchors that never
+    fit) and allowed_border=-1 (with border filtering ON, zero anchors are
+    fully inside, the RPN loss is identically 0, and proposals never
+    localize — exactly what this test is here to catch)."""
+    import jax
+    import jax.numpy as jnp
+    from hvrnet_tpu.core.evaluation.mean_ap import eval_map
+    from hvrnet_tpu.data import VIDSeqDataset
+    from hvrnet_tpu.engine import SelsaRCNN
+    from hvrnet_tpu.engine.stream import collate_train
+    from hvrnet_tpu.engine.train import SelsaTrainer
+    from hvrnet_tpu.engine.video_runner import _dets_to_result
+
+    ds = VIDSeqDataset(
+        ann_file=osp.join(mini_vid, "ImageSets/VID_train_15frames.txt"),
+        img_prefix=mini_vid, pipeline=TRAIN_PIPELINE, selsa_with_aug=True)
+    np.random.seed(0)
+    frames = ds[0]
+    sample = collate_train(frames, (64, 96))
+    batch = {k: v[None] for k, v in sample.items()}
+
+    proposals = 16
+    model_cfg = tiny_model_cfg(sampler_num=8, t_dim=3)
+    model_cfg["rpn_head"]["anchor_scales"] = [1, 2, 4, 8]
+    train_cfg = tiny_train_cfg(two_stage_sampler=False, num=16)
+    train_cfg["rpn"]["allowed_border"] = -1
+    eng = SelsaRCNN(
+        model_cfg,
+        train_cfg,
+        dict(rpn=dict(nms_pre=100, nms_post=proposals, max_num=proposals,
+                      nms_thr=0.7, min_bbox_size=0),
+             rcnn=dict(score_thr=0.001, nms=dict(type='nms', iou_thr=0.3),
+                       max_per_img=20, key_dim=0),
+             bbox_head=dict(sampler_num=proposals, t_dim=3, key_dim=0),
+             relation_setup=dict(shuffle=False, video_shuffle=True,
+                                 has_rpn=True, frame_interval=0,
+                                 frame_stride=1)))
+    eng.window = 3
+    eng.key_dim = 0   # key frame is row 0 of the collated triplet
+    params0 = eng.init_params(jax.random.PRNGKey(0))
+
+    def frame_map(params):
+        """Detect the key frame through the real test path (frame_features →
+        window_detect over the 3-frame window) and score mAP@0.3 against the
+        collated GT (same resized coordinates: scale_factor 1)."""
+        feats = [eng.frame_features(
+            params, jnp.asarray(sample["imgs"][i][None]),
+            sample["img_shape"][i], sample["pad_shape"][i]) for i in range(3)]
+        fc1 = jnp.stack([f["fc1"] for f in feats])
+        boxes = jnp.stack([f["boxes"] for f in feats])
+        masks = jnp.stack([f["mask"] for f in feats])
+        dets, labels, valid = eng.window_detect(
+            params, fc1, boxes, masks, sample["img_shape"][0],
+            np.ones((4,), np.float32))
+        res = _dets_to_result(np.asarray(dets), np.asarray(labels),
+                              np.asarray(valid), 31)
+        gt_mask = sample["gt_mask"][0]
+        m, _ = eval_map([res], [sample["gt_bboxes"][0][gt_mask]],
+                        [sample["gt_labels"][0][gt_mask]],
+                        iou_thr=0.3, print_summary=False)
+        return m
+
+    map_before = frame_map(params0)
+
+    trainer = SelsaTrainer(eng, dict(
+        optimizer=dict(lr=5e-3, momentum=0.9, weight_decay=0.0),
+        lr_config=dict(step=[], warmup_iters=0)), steps_per_epoch=1000)
+    state = trainer.create_state(params0)
+    step = trainer.make_train_step(64, 96)
+    rng = jax.random.PRNGKey(42)
+    for _ in range(300):
+        state, logs = step(state, batch, rng)
+    map_after = frame_map(jax.device_get(state.params))
+
+    assert map_after > map_before, (map_before, map_after)
+    assert map_after >= 0.5, (map_before, map_after)
+
+
 def test_selsa_overfits_fixed_batch(mini_vid):  # noqa: F811
     """Optimization sanity: repeated steps on one fixed batch reduce loss."""
     import jax

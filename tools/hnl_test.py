@@ -36,6 +36,11 @@ def parse_args():
                    help="feature-cache length (hnl_test.py:757)")
     p.add_argument("--pre-padding", choices=["random", "repeat"],
                    default="random")
+    p.add_argument("--multi-pass", type=int, default=0, metavar="P",
+                   help="split the window into P segments and run the head's "
+                        "multi-pass test graph (forward_test_multi_passes, "
+                        "hrnmp_bbox_head.py:911-967); 0 = spliced single-pass "
+                        "graph (the default, forward_test:800-909)")
     p.add_argument("--bf16", action="store_true")
     return p.parse_args()
 
@@ -80,6 +85,11 @@ def main():
     # the device ring buffer follows the requested cache length
     engine.window = window
     engine.key_dim = (window - 1) // 2
+    if args.multi_pass:
+        if window % args.multi_pass:
+            raise SystemExit(f"--multi-pass {args.multi_pass} must divide "
+                             f"the window length {window}")
+        engine.multi_pass = args.multi_pass
     params = load_params_for_engine(engine, args.checkpoint)
 
     prepad = None
