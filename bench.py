@@ -87,29 +87,34 @@ def synth_video_dir(root: str, n_frames: int, src_h: int = 540,
     return ann_file
 
 
-def run_real_data(engine, params, n_frames: int):
+def run_real_data(engine, params, n_frames: int, workers: int = 4,
+                  u8_transfer: bool = True):
     """End-to-end fps on on-disk JPEG video through the full host pipeline +
-    prefetch + SlidingWindowRunner (VERDICT weak #5: the device-only bench
-    never measured decode/prefetch overlap)."""
+    parallel loader + SlidingWindowRunner (VERDICT weak #5: the device-only
+    bench never measured decode/prefetch overlap)."""
     import tempfile
     from hvrnet_tpu.data import VIDSeqDataset
     from hvrnet_tpu.engine import SlidingWindowRunner
-    from hvrnet_tpu.engine.stream import prefetch_stream, test_frame_stream
+    from hvrnet_tpu.engine.stream import parallel_test_frame_stream
 
     root = tempfile.mkdtemp(prefix="hvrnet_bench_vid_")
     ann_file = synth_video_dir(root, n_frames)
-    ds = VIDSeqDataset(ann_file=ann_file, img_prefix=root,
-                       pipeline=REAL_DATA_PIPELINE, test_mode=True,
-                       world_size=1)
+
+    def mkds():
+        return VIDSeqDataset(ann_file=ann_file, img_prefix=root,
+                             pipeline=REAL_DATA_PIPELINE, test_mode=True,
+                             world_size=1)
+
     runner = SlidingWindowRunner(engine, params, branch=-1)
     # pass 1 compiles every program; pass 2 is the steady-state measurement
-    runner.run(prefetch_stream(test_frame_stream(ds, rank=0)),
+    ds = mkds()
+    runner.run(parallel_test_frame_stream(ds, rank=0, workers=workers,
+                                          u8_transfer=u8_transfer),
                num_frames=len(ds))
-    ds2 = VIDSeqDataset(ann_file=ann_file, img_prefix=root,
-                        pipeline=REAL_DATA_PIPELINE, test_mode=True,
-                        world_size=1)
+    ds2 = mkds()
     t0 = time.perf_counter()
-    runner.run(prefetch_stream(test_frame_stream(ds2, rank=0)),
+    runner.run(parallel_test_frame_stream(ds2, rank=0, workers=workers,
+                                          u8_transfer=u8_transfer),
                num_frames=len(ds2))
     return len(ds2) / (time.perf_counter() - t0)
 

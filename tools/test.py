@@ -39,6 +39,14 @@ def parse_args():
                    help="flip-augmented testing (MultiScaleFlipAug flip=True"
                         " semantics: per-frame proposal merge + per-aug score"
                         " averaging)")
+    p.add_argument("--loader-workers", type=int, default=1,
+                   help=">1 decodes frames with an order-preserving thread "
+                        "pool (same distribution, different shuffle RNG "
+                        "stream than the sequential iterator)")
+    p.add_argument("--batched", type=int, default=0, metavar="B",
+                   help="drive B video streams in lockstep through the "
+                        "batched ring-buffer runner (throughput mode for the "
+                        "full val sweep; schedule-exact vs sequential)")
     p.add_argument("--trace", default=None,
                    help="capture a jax.profiler trace to this directory")
     p.add_argument("--timing", action="store_true",
@@ -108,15 +116,33 @@ def main():
     from hvrnet_tpu.utils.profiling import PhaseTimer, trace
     import contextlib
     timer = PhaseTimer() if args.timing else None
-    runner = SlidingWindowRunner(engine, params, window=args.window,
-                                 branch=args.branch, progress_hook=progress,
-                                 timer=timer, aug=args.aug_test)
     trace_ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
-    with trace_ctx:
-        results = runner.run(
-            prefetch_stream(test_frame_stream(dataset, rank=args.rank,
-                                              aug_flip=args.aug_test)),
-            num_frames=len(dataset))
+    if args.batched:
+        if args.aug_test:
+            raise SystemExit("--batched and --aug-test are exclusive")
+        from hvrnet_tpu.engine.batched_runner import BatchedSlidingWindowRunner
+        if args.window:   # the batched ring buffers follow engine.window
+            engine.window = args.window
+            engine.key_dim = (args.window - 1) // 2
+        runner = BatchedSlidingWindowRunner(
+            engine, params, batch=args.batched, window=args.window,
+            branch=args.branch, progress_hook=progress)
+        with trace_ctx:
+            results = runner.run(dataset, rank=args.rank)
+    else:
+        runner = SlidingWindowRunner(engine, params, window=args.window,
+                                     branch=args.branch,
+                                     progress_hook=progress,
+                                     timer=timer, aug=args.aug_test)
+        if args.loader_workers > 1 and not args.aug_test:
+            from hvrnet_tpu.engine.stream import parallel_test_frame_stream
+            stream = parallel_test_frame_stream(dataset, rank=args.rank,
+                                                workers=args.loader_workers)
+        else:
+            stream = prefetch_stream(test_frame_stream(
+                dataset, rank=args.rank, aug_flip=args.aug_test))
+        with trace_ctx:
+            results = runner.run(stream, num_frames=len(dataset))
     if timer is not None:
         print(timer.summary())
 
