@@ -376,12 +376,61 @@ class MultiScaleFlipAug:
 
 
 class Albu:
-    """transforms.py:705 — albumentations bridge (package absent in this
-    image; config-parity stub)."""
+    """transforms.py:705-817 — albumentations bridge.
 
-    def __init__(self, transforms=None, **kwargs):
-        raise NotImplementedError(
-            "albumentations is not available; Albu is a config-parity stub")
+    The external package is absent in this image, so the transforms run on
+    the in-repo mini backend (`albu_mini.py`: flips, ShiftScaleRotate,
+    RandomBrightnessContrast, ChannelShuffle, Blur/MedianBlur, GaussNoise,
+    HueSaturationValue, RandomRotate90, OneOf) with the same per-transform
+    probability gates, pascal_voc bbox handling, min_visibility filtering
+    and `filter_lost_elements` label bookkeeping."""
+
+    def __init__(self, transforms, bbox_params=None, keymap=None,
+                 update_pad_shape=False, skip_img_without_anno=False):
+        from .albu_mini import AlbuCompose
+        self.filter_lost_elements = False
+        self.update_pad_shape = update_pad_shape
+        self.skip_img_without_anno = skip_img_without_anno
+        bbox_params = dict(bbox_params) if bbox_params else None
+        if (isinstance(bbox_params, dict) and "label_fields" in bbox_params
+                and "filter_lost_elements" in bbox_params):
+            self.filter_lost_elements = True
+            self.origin_label_fields = list(bbox_params["label_fields"])
+            bbox_params = dict(bbox_params, label_fields=["idx_mapper"])
+            del bbox_params["filter_lost_elements"]
+        self.aug = AlbuCompose(transforms, bbox_params)
+        self.keymap_to_albu = keymap or {"img": "image",
+                                         "gt_bboxes": "bboxes"}
+        self.keymap_back = {v: k for k, v in self.keymap_to_albu.items()}
+
+    @staticmethod
+    def mapper(d, keymap):
+        return {keymap.get(k, k): v for k, v in d.items()}
+
+    def __call__(self, results):
+        data = self.mapper(results, self.keymap_to_albu)
+        had_boxes = "bboxes" in data
+        if self.filter_lost_elements and had_boxes:
+            data["idx_mapper"] = np.arange(len(data["bboxes"]))
+        kw = {k: data[k] for k in
+              ("image", "bboxes", "idx_mapper")
+              if k in data}
+        out = self.aug(**kw)
+        data.update(out)
+        if self.filter_lost_elements and had_boxes:
+            idx = np.asarray(data.pop("idx_mapper"), int)
+            for f in self.origin_label_fields:
+                data[f] = np.asarray(data[f])[idx]
+            if not len(data["bboxes"]) and self.skip_img_without_anno:
+                return None
+        if had_boxes:
+            data["bboxes"] = np.asarray(data["bboxes"],
+                                        np.float32).reshape(-1, 4)
+        results = self.mapper(data, self.keymap_back)
+        results["img_shape"] = results["img"].shape
+        if self.update_pad_shape:
+            results["pad_shape"] = results["img"].shape
+        return results
 
 
 class ImageToTensor:
