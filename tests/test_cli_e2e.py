@@ -165,6 +165,34 @@ def test_test_cli_batched(mini_vid, tmp_path):  # noqa: F811
     assert len(results) == 8 and all(x is not None for x in results)
 
 
+HNL_CFG = TINY_CFG.replace("type='SelsaRCNN'", "type='HNMBRCNN'").replace(
+    "type='SelsaBBoxHead'", "type='HRNMPBBoxHead'")
+
+
+@pytest.mark.parametrize("extra", [[], ["--multi-pass", "3"]])
+def test_hnl_test_cli(mini_vid, tmp_path, extra):  # noqa: F811
+    """tools/hnl_test.py end to end (repeat pre-padding so the window math is
+    deterministic), with and without the multi-pass head graph."""
+    cfg_path = str(tmp_path / "tiny_hnl_cfg.py")
+    with open(cfg_path, "w") as f:
+        f.write(HNL_CFG.format(root=mini_vid))
+    out = str(tmp_path / f"results_hnl{len(extra)}.pkl")
+    argv = ["hnl_test.py", cfg_path, "--out", out, "--window", "3",
+            "--pre-padding", "repeat"] + extra
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys; sys.argv=%r;"
+         "sys.path.insert(0, %r);"
+         "import runpy; runpy.run_path(%r, run_name='__main__')"
+         % (argv, REPO, osp.join(REPO, "tools/hnl_test.py"))],
+        capture_output=True, timeout=900, cwd=REPO, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(out, "rb") as f:
+        results = pickle.load(f)
+    assert len(results) == 8 and all(x is not None for x in results)
+
+
 def test_test_cli_aug_test(mini_vid, tmp_path):  # noqa: F811
     """tools/test.py --aug-test runs the flip-augmented pipeline end to end."""
     cfg_path = str(tmp_path / "tiny_cfg.py")
