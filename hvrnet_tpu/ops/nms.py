@@ -12,6 +12,7 @@ exactly the reference's ``nms(...)[:nms_post]`` usage pattern.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -19,6 +20,12 @@ import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30
+
+# candidates resolved per sequential round of the tiled greedy loop; 64
+# matches the CUDA kernel's 64-box blocks (nms_kernel.cu:12) and measured
+# fastest on v5e (sweep in BASELINE.md).  Exact at every value (oracle
+# test covers 8-128); env knob for hardware retuning.
+DEFAULT_TILE = int(os.environ.get("HVRNET_NMS_TILE", "64"))
 
 
 def _iou_row(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
@@ -34,7 +41,7 @@ def _iou_row(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
 
 def nms_static(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float,
                max_out: int, valid: Optional[jnp.ndarray] = None,
-               tile: int = 64) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               tile: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS with a static number of outputs — exact tiled algorithm.
 
     Instead of one (argmax → suppress) device round trip per survivor, each
@@ -61,7 +68,7 @@ def nms_static(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float,
         keep_mask: (max_out,) bool.
     """
     n = boxes.shape[0]
-    tile = min(tile, n)
+    tile = min(tile if tile is not None else DEFAULT_TILE, n)
     live0 = jnp.where(valid, scores, NEG_INF) if valid is not None else scores
     live0 = live0.astype(jnp.float32)
     boxes = boxes.astype(jnp.float32)
