@@ -154,3 +154,43 @@ def _bwd(scale, res, g):
 
 
 masked_attention.defvjp(_fwd, _bwd)
+
+
+def masked_attention_kv_sharded(q, k, v, bias, scale: float, mesh,
+                                axis: str = "data"):
+    """Sequence-parallel masked attention: K/V (and bias) sharded over a mesh
+    axis, Q replicated — the scaling path for temporal windows too large for
+    one chip's HBM/FLOPs (SURVEY §5: "shard the key/value axis over ICI with
+    shard_map + psum-normalized softmax").
+
+    Exact w.r.t. the single-device softmax: each shard computes its local
+    logits, the row max is pmax'd for stability, and the exp-weighted value
+    sums and normalizers are psum'd — one pmax + two psums over ICI per
+    block, all O(Nq·D), never the (Nq, Nk) affinity.
+
+    Args:
+        q: (Nq, D) replicated queries.
+        k, v: (Nk, D) with Nk divisible by the axis size; sharded on axis 0.
+        bias: (Nk,) additive key bias (−1e30 for padded slots).
+        mesh: jax.sharding.Mesh containing ``axis``.
+    Returns:
+        (Nq, D) float32, fully replicated.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(q, k, v, bias):
+        aff = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        aff = aff + bias[None, :]
+        m = jax.lax.pmax(aff.max(axis=1, keepdims=True), axis)
+        p = jnp.exp(aff - m)
+        num = jax.lax.psum(
+            jnp.dot(p.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32), axis)
+        den = jax.lax.psum(p.sum(axis=1, keepdims=True), axis)
+        return (num / den).astype(jnp.float32)
+
+    return shard_map(local, mesh=mesh,
+                     in_specs=(P(), P(axis), P(axis), P(axis)),
+                     out_specs=P(),
+                     check_vma=False)(q, k, v, bias)

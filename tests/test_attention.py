@@ -49,6 +49,27 @@ def test_flash_kernel_interpret_mode_matches():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_kv_sharded_attention_matches_single_device():
+    """Sequence-parallel K/V sharding over the 8-device CPU mesh must equal
+    the single-device softmax exactly, at the 63-frame-window scale
+    (~18.9k keys) with padded-slot masking."""
+    from hvrnet_tpu.ops.attention import masked_attention_kv_sharded
+    from hvrnet_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    D, NQ, NK = 128, 304, 18944          # 63×300 rounded to /8
+    q = jnp.asarray(rng.normal(size=(NQ, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(NK, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(NK, D)).astype(np.float32))
+    bias = jnp.where(jnp.asarray(rng.random(NK) < 0.1), -1e30, 0.0)
+
+    want = _attention_reference(q, k, v, bias, scale=0.088)
+    mesh = make_mesh(8)
+    got = masked_attention_kv_sharded(q, k, v, bias, 0.088, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_masked_attention_gradients():
     rng = np.random.default_rng(2)
     q, k, v, bias = inputs(rng, nq=16, nk=24, d=128)
