@@ -73,7 +73,8 @@ class BatchedSlidingWindowRunner:
 
     def __init__(self, engine, params, batch: int = 4,
                  window: Optional[int] = None, branch: int = -1,
-                 progress_hook=None):
+                 progress_hook=None, loader_workers: int = 0,
+                 u8_transfer: bool = False):
         self.engine = engine
         self.params = params
         self.batch = batch
@@ -82,12 +83,27 @@ class BatchedSlidingWindowRunner:
         self.branch = branch
         self.num_classes = engine.num_classes
         self.progress_hook = progress_hook
+        # >0: per-step frame loads (one per stream) run in a thread pool —
+        # the step's host work drops from B sequential decodes to ~one
+        self.loader_workers = int(loader_workers)
+        # ship frames as uint8, normalize on device (see stream.py docstring)
+        self.u8_transfer = u8_transfer
 
     def run(self, dataset, rank: int = 0, max_long: int = 1008,
             max_short: int = 608) -> List:
         import jax.numpy as jnp
         from ..ops.boxes import bbox2result_np
         from .canvas import pad_to_canvas, pick_canvas_shape
+
+        pipeline = dataset.pipeline
+        if self.u8_transfer:
+            from ..data.pipelines import Compose
+            pipeline = Compose([dict(t) for t in dataset.pipeline_cfg
+                                if t["type"] != "Normalize"])
+        pool = None
+        if self.loader_workers > 0:
+            import concurrent.futures as cf
+            pool = cf.ThreadPoolExecutor(max_workers=self.loader_workers)
 
         T, B = self.window, self.batch
         num_frames = len(dataset)
@@ -112,13 +128,15 @@ class BatchedSlidingWindowRunner:
             finfo, _, _ = dataset._frame_info(info, offset, with_ann=False)
             r = dict(img_info=finfo)
             dataset.pre_pipeline(r)
-            out = dataset.pipeline(r)
+            out = pipeline(r)
             meta = out["img_meta"]
             ch, cw = pick_canvas_shape(meta["pad_shape"][0],
                                        meta["pad_shape"][1],
                                        max_long, max_short)
+            img = (np.ascontiguousarray(out["img"], np.uint8)
+                   if self.u8_transfer else out["img"].astype(np.float32))
             return dict(
-                img=pad_to_canvas(out["img"].astype(np.float32), (ch, cw)),
+                img=pad_to_canvas(img, (ch, cw)),
                 img_shape=np.asarray(meta["img_shape"][:2], np.float32),
                 pad_shape=np.asarray(meta["pad_shape"][:2], np.float32),
                 scale_factor=np.asarray(meta["scale_factor"], np.float32),
@@ -148,10 +166,33 @@ class BatchedSlidingWindowRunner:
         # portrait/landscape shards should go to separate ranks
         canvas_hw = (max_short, max_long)
 
+        pending_out: List[Tuple] = []    # [(device (dets,labels,mask), emits)]
+
+        def flush():
+            if not pending_out:
+                return
+            import jax
+            host = jax.device_get([p[0] for p in pending_out])
+            for (_, ems), (dets, labels, mask) in zip(pending_out, host):
+                for b, e in enumerate(ems):
+                    if e is None:
+                        continue
+                    start_id, off = e
+                    res = bbox2result_np(dets[b][mask[b]],
+                                         labels[b][mask[b]],
+                                         self.num_classes)
+                    results[start_id + off - 1] = res
+                    if self.progress_hook:
+                        self.progress_hook(1)
+            pending_out.clear()
+
         while any(s["actions"] is not None for s in streams):
             imgs, ishs, pshs, sfs = [], [], [], []
             resets = np.zeros(B, bool)
             emits: List[Optional[Tuple[int, int]]] = [None] * B
+            # pass 1: advance every stream's state machine, queue the loads
+            pending: List[Optional[Tuple]] = [None] * B   # (video, off, emit)
+            frames: List[Optional[Dict]] = [None] * B
             for b, s in enumerate(streams):
                 if s["actions"] is None or s["step"] >= len(s["actions"]):
                     if s["actions"] is not None and not refill(s):
@@ -160,26 +201,43 @@ class BatchedSlidingWindowRunner:
                     # exhausted stream: repeat a dummy frame, never emit
                     fr = s.get("last_frame")
                     if fr is None:
+                        dt = np.uint8 if self.u8_transfer else np.float32
                         fr = dict(img=np.zeros(
-                            (canvas_hw[0], canvas_hw[1], 3), np.float32),
+                            (canvas_hw[0], canvas_hw[1], 3), dt),
                             img_shape=np.array([canvas_hw[0], canvas_hw[1]],
                                                np.float32),
                             pad_shape=np.array([canvas_hw[0], canvas_hw[1]],
                                                np.float32),
                             scale_factor=np.ones(4, np.float32),
                             frame_start_id=1)
+                    frames[b] = fr
                 else:
                     off, reset, emit_off = s["actions"][s["step"]]
                     s["step"] += 1
-                    if off in s["cache"]:
-                        fr = s["cache"][off]
-                    else:
-                        fr = load_frame(s["video"], off)
-                        s["cache"] = {off: fr}   # keep only the latest
-                    s["last_frame"] = fr
                     resets[b] = reset
-                    if emit_off is not None:
-                        emits[b] = (fr["frame_start_id"], emit_off)
+                    if off in s["cache"]:
+                        frames[b] = s["cache"][off]
+                        if emit_off is not None:
+                            emits[b] = (frames[b]["frame_start_id"], emit_off)
+                    else:
+                        pending[b] = (s["video"], off, emit_off)
+            # pass 2: run this step's loads concurrently (decode dominates)
+            if pool is not None:
+                futs = {b: pool.submit(load_frame, p[0], p[1])
+                        for b, p in enumerate(pending) if p is not None}
+                loaded = {b: f.result() for b, f in futs.items()}
+            else:
+                loaded = {b: load_frame(p[0], p[1])
+                          for b, p in enumerate(pending) if p is not None}
+            for b, fr in loaded.items():
+                video, off, emit_off = pending[b]
+                streams[b]["cache"] = {off: fr}   # keep only the latest
+                frames[b] = fr
+                if emit_off is not None:
+                    emits[b] = (fr["frame_start_id"], emit_off)
+            for b, fr in enumerate(frames):
+                if streams[b]["actions"] is not None:
+                    streams[b]["last_frame"] = fr
                 imgs.append(fr["img"])
                 ishs.append(fr["img_shape"])
                 pshs.append(fr["pad_shape"])
@@ -200,17 +258,13 @@ class BatchedSlidingWindowRunner:
                     self.params, state, np.stack(ishs), np.stack(sfs))
                 if isinstance(out, list):
                     out = out[self.branch]
-                dets, labels, mask = out
-                dets = np.asarray(dets)
-                labels = np.asarray(labels)
-                mask = np.asarray(mask)
-                for b, e in enumerate(emits):
-                    if e is None:
-                        continue
-                    start_id, off = e
-                    res = bbox2result_np(dets[b][mask[b]], labels[b][mask[b]],
-                                         self.num_classes)
-                    results[start_id + off - 1] = res
-                    if self.progress_hook:
-                        self.progress_hook(1)
+                # detections stay on device; one batched device_get per
+                # flush (interconnect round-trip amortization, see
+                # video_runner.py)
+                pending_out.append((tuple(out), list(emits)))
+                if len(pending_out) >= 8:
+                    flush()
+        flush()
+        if pool is not None:
+            pool.shutdown()
         return results

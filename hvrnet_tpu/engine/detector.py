@@ -298,8 +298,12 @@ class BaseEngine:
     # ------------------------------------------------- batched frame program
     @functools.lru_cache(maxsize=8)
     def _frame_post_batched_fn(self, canvas_h: int, canvas_w: int):
-        """vmap of the post-backbone stage over a frame batch (one frame per
-        video stream) — batched NMS/RoIAlign/fc1 for server throughput."""
+        """Post-backbone stage over a frame batch (one frame per video
+        stream), UNROLLED over lanes inside one jit.  vmapping this stage is
+        catastrophic on TPU — the NMS while_loop's vmapped top_k/suppression
+        lowers to lockstep gathers that measured 264.7 ms vs 11.5 ms unrolled
+        at B=4 (v5e, BASELINE.md); independent per-lane sections let XLA
+        schedule them back to back with no batching rule in the way."""
         canvas = self._canvas(canvas_h, canvas_w)
         rpn_cfg = self.test_cfg["rpn"]
         mod = self.module
@@ -314,7 +318,13 @@ class BaseEngine:
             fc1 = mod.apply(params, pooled, method=mod.bbox_precompute_fc1)
             return dict(fc1=fc1, boxes=boxes, scores=scores, mask=mask)
 
-        return jax.jit(jax.vmap(single, in_axes=(None, 0, 0, 0, 0, 0)))
+        def batched(params, c5, cls_map, reg_map, img_shapes, pad_shapes):
+            outs = [single(params, c5[b], cls_map[b], reg_map[b],
+                           img_shapes[b], pad_shapes[b])
+                    for b in range(c5.shape[0])]
+            return {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}
+
+        return jax.jit(batched)
 
     def frame_features_batched(self, params, imgs: jnp.ndarray, img_shapes,
                                pad_shapes):

@@ -85,6 +85,36 @@ def test_parallel_loader_equals_sequential(mini_vid):  # noqa: F811
                                        err_msg=str(i))
 
 
+def test_batched_parallel_u8_equals_default(mini_vid):  # noqa: F811
+    """Batched runner with thread-pool loads + uint8 transfer must match its
+    own default path (shuffle off, flip_ratio 0 ⇒ deterministic loads)."""
+    import jax
+    from hvrnet_tpu.data import VIDSeqDataset
+    from hvrnet_tpu.engine import BatchedSlidingWindowRunner, SelsaRCNN
+    from tests.test_engine_selsa import tiny_selsa_cfg
+
+    model_cfg, test_cfg = tiny_selsa_cfg(window_interval=1, proposals=8)
+    engine = SelsaRCNN(model_cfg, None, test_cfg)
+    params = engine.init_params(jax.random.PRNGKey(0))
+    ann = osp.join(mini_vid, "ImageSets/VID_val_videos.txt")
+
+    def mkds():
+        return VIDSeqDataset(ann_file=ann, img_prefix=mini_vid,
+                             pipeline=TEST_PIPELINE, test_mode=True,
+                             world_size=1, video_shuffle=False)
+
+    base = BatchedSlidingWindowRunner(engine, params, batch=2).run(
+        mkds(), rank=0, max_long=96, max_short=64)
+    fast = BatchedSlidingWindowRunner(engine, params, batch=2,
+                                      loader_workers=2, u8_transfer=True).run(
+        mkds(), rank=0, max_long=96, max_short=64)
+    for i, (a, b) in enumerate(zip(base, fast)):
+        assert (a is None) == (b is None), i
+        for ca, cb in zip(a, b):
+            np.testing.assert_allclose(ca, cb, rtol=1e-4, atol=1e-4,
+                                       err_msg=str(i))
+
+
 def test_u8_transfer_equals_float_path(mini_vid):  # noqa: F811
     """u8_transfer ships uint8 frames and normalizes on device; because the
     pipeline resizes in uint8 before Normalize (like the reference), the

@@ -43,6 +43,10 @@ def parse_args():
                    help=">1 decodes frames with an order-preserving thread "
                         "pool (same distribution, different shuffle RNG "
                         "stream than the sequential iterator)")
+    p.add_argument("--u8-transfer", action="store_true",
+                   help="ship frames host→device as uint8 and normalize on "
+                        "device (4× less transfer; arithmetic-identical "
+                        "because the pipeline resizes in uint8)")
     p.add_argument("--batched", type=int, default=0, metavar="B",
                    help="drive B video streams in lockstep through the "
                         "batched ring-buffer runner (throughput mode for the "
@@ -126,7 +130,9 @@ def main():
             engine.key_dim = (args.window - 1) // 2
         runner = BatchedSlidingWindowRunner(
             engine, params, batch=args.batched, window=args.window,
-            branch=args.branch, progress_hook=progress)
+            branch=args.branch, progress_hook=progress,
+            loader_workers=max(args.loader_workers, 0),
+            u8_transfer=args.u8_transfer)
         with trace_ctx:
             results = runner.run(dataset, rank=args.rank)
     else:
@@ -134,11 +140,15 @@ def main():
                                      branch=args.branch,
                                      progress_hook=progress,
                                      timer=timer, aug=args.aug_test)
-        if args.loader_workers > 1 and not args.aug_test:
+        if (args.loader_workers > 1 or args.u8_transfer) and not args.aug_test:
             from hvrnet_tpu.engine.stream import parallel_test_frame_stream
-            stream = parallel_test_frame_stream(dataset, rank=args.rank,
-                                                workers=args.loader_workers)
+            stream = parallel_test_frame_stream(
+                dataset, rank=args.rank, workers=max(args.loader_workers, 1),
+                u8_transfer=args.u8_transfer)
         else:
+            if args.u8_transfer:
+                raise SystemExit("--u8-transfer is not supported with "
+                                 "--aug-test")
             stream = prefetch_stream(test_frame_stream(
                 dataset, rank=args.rank, aug_flip=args.aug_test))
         with trace_ctx:
