@@ -115,3 +115,32 @@ def test_roi_align_custom_vjp_matches_autodiff():
     g2 = jax.grad(loss_plain)(feats)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_separable_matmul_path_matches_oracle_and_gather():
+    """B==1 dispatches the separable Wy·C5·Wxᵀ formulation (MXU matmuls);
+    it must match both the numpy kernel-math oracle and the gather path
+    (exercised by duplicating the map to B=2)."""
+    rng = np.random.default_rng(11)
+    H, W, C = 20, 28, 6
+    feats1 = rng.normal(size=(1, H, W, C)).astype(np.float32)
+    rois = np.array([
+        [0, 0.0, 0.0, 150.0, 120.0],
+        [0, 33.3, 21.7, 410.9, 280.4],
+        [0, 3.0, 3.0, 4.5, 4.5],
+        [0, 430.0, 300.0, 447.0, 319.0],   # touches the far edge
+        [0, -10.0, -8.0, 60.0, 40.0],      # partially outside
+    ], np.float32)
+    got = np.asarray(roi_align(jnp.asarray(feats1), jnp.asarray(rois),
+                               out_size=7, spatial_scale=1 / 16.0,
+                               sample_num=2))
+    ref = roi_align_np(feats1, rois, 7, 1 / 16.0, 2)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    # gather path (B=2: second map is a decoy) must agree bitwise-closely
+    feats2 = np.concatenate([feats1, rng.normal(size=(1, H, W, C))
+                             .astype(np.float32)])
+    got2 = np.asarray(roi_align(jnp.asarray(feats2), jnp.asarray(rois),
+                                out_size=7, spatial_scale=1 / 16.0,
+                                sample_num=2))
+    np.testing.assert_allclose(got, got2, rtol=1e-6, atol=1e-6)
