@@ -108,6 +108,20 @@ class BaseEngine:
         img = jnp.zeros((1, canvas_hw[0], canvas_hw[1], 3), jnp.float32)
         return self.module.init(rng, img)
 
+    def enable_kv_sharded_attention(self, mesh) -> None:
+        """Shard the relation head's K/V axis over ``mesh`` (sequence
+        parallelism for windows beyond one chip's HBM; exact — see
+        ops/attention.py:masked_attention_kv_sharded).  Existing params stay
+        valid (the mesh adds no parameters); compiled-program caches are
+        dropped so the next call traces through the sharded blocks."""
+        bh = dict(self.model_cfg["bbox_head"], attention_mesh=mesh)
+        self.model_cfg = dict(self.model_cfg, bbox_head=bh)
+        self.module = build_model_module(self.model_cfg, self.dtype)
+        for name in dir(type(self)):
+            attr = getattr(type(self), name, None)
+            if hasattr(attr, "cache_clear"):
+                attr.cache_clear()
+
     def _canvas(self, h: int, w: int):
         return get_canvas(h, w, self.anchor_stride,
                           self.anchor_scales, self.anchor_ratios)

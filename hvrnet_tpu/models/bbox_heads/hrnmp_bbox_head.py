@@ -109,18 +109,20 @@ class HRNMPBBoxHead(nn.Module):
     loss_bbox: Any = None
     triplet_margin: float = 10.0
     compat_inverted_mining: bool = True
+    attention_mesh: Any = None      # K/V sequence-parallel mesh (optional)
     dtype: Any = jnp.float32
 
     def setup(self):
         D, F = self.dim, self.fc_feat_dim
+        am = self.attention_mesh
         self.fc_new_1 = dense(F, 0.01, self.dtype)
         self.fc_new_2 = dense(F, 0.01, self.dtype)
         self.fc_new_3 = dense(F, 0.01, self.dtype)
         self.fc_new_4 = dense(F, 0.01, self.dtype)
-        self.selsa_1 = SelsaAttention(D, F, self.conv_z[0], self.conv_g[0], self.dtype)
-        self.selsa_2 = SelsaAttention(D, F, self.conv_z[1], self.conv_g[1], self.dtype)
-        self.selsa_3 = SelsaAttention(D, F, self.conv_z[2], self.conv_g[2], self.dtype)
-        self.selsa_4 = SelsaAttention(D, F, self.conv_z[3], self.conv_g[3], self.dtype)
+        self.selsa_1 = SelsaAttention(D, F, self.conv_z[0], self.conv_g[0], am, self.dtype)
+        self.selsa_2 = SelsaAttention(D, F, self.conv_z[1], self.conv_g[1], am, self.dtype)
+        self.selsa_3 = SelsaAttention(D, F, self.conv_z[2], self.conv_g[2], am, self.dtype)
+        self.selsa_4 = SelsaAttention(D, F, self.conv_z[3], self.conv_g[3], am, self.dtype)
         out_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
         if self.with_cls:
             self.fc_cls = dense(self.num_classes, 0.01, self.dtype)

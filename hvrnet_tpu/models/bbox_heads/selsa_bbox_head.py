@@ -36,11 +36,18 @@ NEG_INF = -1e30
 
 
 class SelsaAttention(nn.Module):
-    """One non-local block: q/k linear → scaled softmax → ·V → 1×1 out."""
+    """One non-local block: q/k linear → scaled softmax → ·V → 1×1 out.
+
+    ``attention_mesh``: when set to a `jax.sharding.Mesh`, the K/V axis of
+    the block shards over the mesh's first axis (sequence parallelism for
+    windows beyond one chip — `ops/attention.py:masked_attention_kv_sharded`;
+    keys are −∞-padded to a multiple of the axis size, which is exact).
+    """
     dim: Tuple[int, int, int] = (1024, 1024, 1024)
     fc_feat_dim: int = 1024
     conv_z: bool = True
     conv_g: bool = False
+    attention_mesh: Any = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -70,7 +77,19 @@ class SelsaAttention(nn.Module):
             bias = (jnp.where(key_mask, 0.0, NEG_INF)
                     if key_mask is not None
                     else jnp.zeros((k.shape[0],), jnp.float32))
-            out = masked_attention(q, k, v, bias, scale)
+            if self.attention_mesh is not None:
+                from ...ops.attention import masked_attention_kv_sharded
+                mesh = self.attention_mesh
+                axis = mesh.axis_names[0]
+                pad = (-k.shape[0]) % mesh.shape[axis]
+                if pad:
+                    k = jnp.pad(k, ((0, pad), (0, 0)))
+                    v = jnp.pad(v, ((0, pad), (0, 0)))
+                    bias = jnp.pad(bias, (0, pad), constant_values=NEG_INF)
+                out = masked_attention_kv_sharded(q, k, v, bias, scale,
+                                                  mesh, axis)
+            else:
+                out = masked_attention(q, k, v, bias, scale)
             out = out.astype(roi_feat.dtype)
             if self.conv_z:
                 out = self.linear_out(out)
@@ -108,15 +127,18 @@ class SelsaBBoxHead(nn.Module):
     reg_class_agnostic: bool = True
     loss_cls: Any = None
     loss_bbox: Any = None
+    attention_mesh: Any = None      # K/V sequence-parallel mesh (optional)
     dtype: Any = jnp.float32
 
     def setup(self):
         self.fc_new_1 = dense(self.fc_feat_dim, 0.01, self.dtype)
         self.selsa_1 = SelsaAttention(self.dim, self.fc_feat_dim,
-                                      self.conv_z[0], self.conv_g[0], self.dtype)
+                                      self.conv_z[0], self.conv_g[0],
+                                      self.attention_mesh, self.dtype)
         self.fc_new_2 = dense(self.fc_feat_dim, 0.01, self.dtype)
         self.selsa_2 = SelsaAttention(self.dim, self.fc_feat_dim,
-                                      self.conv_z[1], self.conv_g[1], self.dtype)
+                                      self.conv_z[1], self.conv_g[1],
+                                      self.attention_mesh, self.dtype)
         if self.with_cls:
             self.fc_cls = dense(self.num_classes, 0.01, self.dtype)
         if self.with_reg:

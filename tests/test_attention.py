@@ -70,6 +70,45 @@ def test_kv_sharded_attention_matches_single_device():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_engine_kv_sharded_attention_matches_unsharded():
+    """enable_kv_sharded_attention reruns the whole window head with K/V
+    sharded over the 8-device CPU mesh — detections must match the
+    single-device path (incl. the −∞ key-padding when nongt is not
+    divisible by the axis size: 3×6=18 keys over 8 devices)."""
+    from hvrnet_tpu.engine import HNMBRCNN, SelsaRCNN
+    from hvrnet_tpu.parallel.mesh import make_mesh
+    from tests.test_engine_hnmb import tiny_hnmb_cfg
+    from tests.test_engine_selsa import tiny_selsa_cfg
+
+    rng = np.random.default_rng(4)
+    for cls, cfg_fn, P in ((SelsaRCNN, tiny_selsa_cfg, 6),
+                           (HNMBRCNN, tiny_hnmb_cfg, 8)):
+        model_cfg, test_cfg = cfg_fn(window_interval=1, proposals=P)
+        engine = cls(model_cfg, None, test_cfg)
+        params = engine.init_params(jax.random.PRNGKey(0))
+        T = 3
+        fc1 = jnp.asarray(rng.normal(size=(T, P, 1024)).astype(np.float32))
+        boxes = jnp.asarray(
+            np.concatenate([rng.random((T, P, 2)) * 40,
+                            40 + rng.random((T, P, 2)) * 40],
+                           axis=-1).astype(np.float32))
+        masks = jnp.asarray(rng.random((T, P)) < 0.9)
+        ish = np.array([86.0, 118.0], np.float32)
+        sf = np.ones((4,), np.float32)
+
+        base = engine.window_detect(params, fc1, boxes, masks, ish, sf,
+                                    branch=-1 if cls is HNMBRCNN else None)
+        engine.enable_kv_sharded_attention(make_mesh(8))
+        shard = engine.window_detect(params, fc1, boxes, masks, ish, sf,
+                                     branch=-1 if cls is HNMBRCNN else None)
+        for a, b in zip(base, shard):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=1e-4, atol=1e-4)
+        # restore the unsharded module for other tests sharing lru caches
+        engine.model_cfg["bbox_head"].pop("attention_mesh", None)
+
+
 def test_masked_attention_gradients():
     rng = np.random.default_rng(2)
     q, k, v, bias = inputs(rng, nq=16, nk=24, d=128)
