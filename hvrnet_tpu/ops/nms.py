@@ -41,7 +41,9 @@ def _iou_row(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
 
 def nms_static(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float,
                max_out: int, valid: Optional[jnp.ndarray] = None,
-               tile: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               tile: Optional[int] = None,
+               groups: Optional[jnp.ndarray] = None
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS with a static number of outputs — exact tiled algorithm.
 
     Instead of one (argmax → suppress) device round trip per survivor, each
@@ -62,6 +64,11 @@ def nms_static(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float,
         max_out: number of survivors to emit (pad + mask when fewer exist).
         valid: optional (N,) bool, False rows are ignored entirely.
         tile: candidates processed per round.
+        groups: optional (N,) int32 — suppression only happens within the
+            same group (boxes of different groups never interact).  Running
+            grouped NMS over the union of per-class candidate sets is
+            EXACTLY per-class greedy NMS (no cross-group terms exist), with
+            one shared pick loop instead of one while_loop per class.
 
     Returns:
         keep_idx: (max_out,) int32 indices into the input (0 where invalid).
@@ -89,6 +96,9 @@ def nms_static(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float,
         area = (cb[:, 2] - cb[:, 0] + 1.0) * (cb[:, 3] - cb[:, 1] + 1.0)
         iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-10)
         adj = iou > iou_thr                                  # (tile, tile)
+        if groups is not None:
+            cg = groups[top_i]
+            adj = adj & (cg[:, None] == cg[None, :])
 
         # greedy prefix chain within the tile (unrolled: tile is small)
         keep = jnp.zeros((tile,), bool).at[0].set(cand_ok[0])
@@ -115,7 +125,10 @@ def nms_static(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float,
         karea = (kb[:, 2] - kb[:, 0] + 1.0) * (kb[:, 3] - kb[:, 1] + 1.0)
         barea = (boxes[:, 2] - boxes[:, 0] + 1.0) * (boxes[:, 3] - boxes[:, 1] + 1.0)
         pio = inter / jnp.maximum(karea[:, None] + barea[None, :] - inter, 1e-10)
-        sup = (keep[:, None] & (pio > iou_thr)).any(axis=0)
+        psup = keep[:, None] & (pio > iou_thr)
+        if groups is not None:
+            psup = psup & (groups[top_i][:, None] == groups[None, :])
+        sup = psup.any(axis=0)
         live = jnp.where(sup, NEG_INF, live)
         return live, out_idx, out_mask, cnt, rounds + 1
 
@@ -209,23 +222,23 @@ def multiclass_nms_static(multi_bboxes: jnp.ndarray, multi_scores: jnp.ndarray,
     if valid is not None:
         cls_valid = cls_valid & valid[None, :]
 
-    per_class = jax.vmap(
-        lambda b, s, v: nms_static(b, s, iou_thr, min(n, max_num), v))
-    keep_idx, keep_mask = per_class(cls_boxes, cls_scores, cls_valid)  # (fg, K)
+    # ONE grouped pick loop over the union of all classes' candidates:
+    # suppression is masked to same-class pairs, which is exactly per-class
+    # greedy NMS (classes never interact), and the result is already in
+    # global score order so the reference's final top-max_num
+    # (bbox_nms.py:58-63) is just the loop's own output cap.  A per-class
+    # vmap of nms_static lowers the while_loop to lockstep gathers (the
+    # vmap pathology measured in BASELINE.md) — one shared loop runs the
+    # same number of rounds as a SINGLE class.
+    flat_boxes = cls_boxes.reshape(-1, 4)
+    flat_scores = cls_scores.reshape(-1)
+    flat_valid = cls_valid.reshape(-1)
+    flat_groups = jnp.repeat(jnp.arange(fg, dtype=jnp.int32), n)
 
-    k = keep_idx.shape[1]
-    flat_scores = jnp.where(
-        keep_mask,
-        jnp.take_along_axis(cls_scores, keep_idx, axis=1),
-        NEG_INF).reshape(-1)
-    flat_boxes = jnp.take_along_axis(
-        cls_boxes, keep_idx[:, :, None], axis=1).reshape(-1, 4)
-    flat_labels = jnp.repeat(jnp.arange(fg, dtype=jnp.int32), k)
-
-    top_scores, top_idx = jax.lax.top_k(flat_scores, max_num)
-    out_mask = top_scores > NEG_INF / 2
-    out_boxes = flat_boxes[top_idx] * out_mask[:, None]
-    out_scores = jnp.where(out_mask, top_scores, 0.0)
-    out_labels = jnp.where(out_mask, flat_labels[top_idx], 0)
+    keep_idx, out_mask = nms_static(flat_boxes, flat_scores, iou_thr, max_num,
+                                    flat_valid, groups=flat_groups)
+    out_boxes = flat_boxes[keep_idx] * out_mask[:, None]
+    out_scores = jnp.where(out_mask, flat_scores[keep_idx], 0.0)
+    out_labels = jnp.where(out_mask, flat_groups[keep_idx], 0)
     dets = jnp.concatenate([out_boxes, out_scores[:, None]], axis=1)
     return dets, out_labels, out_mask

@@ -104,3 +104,40 @@ def test_multiclass_nms_matches_oracle():
     o2 = np.lexsort((ref_l, -ref_d[:, -1]))
     np.testing.assert_allclose(got_d[o1], ref_d[o2], rtol=1e-5, atol=1e-4)
     np.testing.assert_array_equal(got_l[o1], ref_l[o2])
+
+
+def test_grouped_union_equals_per_class_vmap():
+    """The single grouped pick loop must reproduce per-class NMS exactly
+    (fuzz over seeds; heavy overlap to force deep suppression chains)."""
+    import jax
+
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        n, ncls = 60, 7
+        centers = rng.random((n, 2)) * 60
+        wh = rng.random((n, 2)) * 50 + 5
+        boxes = np.concatenate([centers - wh / 2, centers + wh / 2],
+                               1).astype(np.float32)
+        scores = rng.random((n, ncls)).astype(np.float32)
+        dets, labels, mask = multiclass_nms_static(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.3, 0.5, 25)
+
+        # per-class reference: independent nms_static per foreground class
+        fg = ncls - 1
+        flat = []
+        for c in range(fg):
+            s = scores[:, c + 1]
+            v = s > 0.3
+            ki, km = nms_static(jnp.asarray(boxes), jnp.asarray(s), 0.5, 25,
+                                jnp.asarray(v))
+            ki, km = np.asarray(ki), np.asarray(km)
+            for i, ok in zip(ki, km):
+                if ok:
+                    flat.append((float(s[i]), c, boxes[i]))
+        flat.sort(key=lambda t: -t[0])
+        flat = flat[:25]
+        got = [(round(float(d[4]), 6), int(l)) for d, l, m in
+               zip(np.asarray(dets), np.asarray(labels), np.asarray(mask))
+               if m]
+        want = [(round(s, 6), c) for s, c, _ in flat]
+        assert got == want, (seed, got, want)
