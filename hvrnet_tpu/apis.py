@@ -136,8 +136,11 @@ def train_detector(engine, dataset, cfg, mesh=None, work_dir: str = "work_dir",
         for it in range(steps_per_epoch):
             batch = next(batches)
             rng, *step_rngs = jax.random.split(rng, n_dev + 1)
-            step_rng = (jax.numpy.stack(step_rngs) if mesh is not None
-                        else step_rngs[0])
+            # the trainer compiles the single-device step whenever the mesh
+            # has one device (BaseTrainer.make_train_step) — rng shape must
+            # match that choice, not merely mesh-ness
+            step_rng = (step_rngs[0] if n_dev == 1
+                        else jax.numpy.stack(step_rngs))
             state, logs = step_fn(state, batch, step_rng)
             if it % log_interval == 0:
                 logs_f = {k: float(v) for k, v in logs.items()}

@@ -164,8 +164,8 @@ class SelsaTrainer(BaseTrainer):
         ohem = samplers[1] if isinstance(samplers, list) else None
         key_dim = int(rcnn.get("key_dim", 0))
         P_rois = int(first["num"])          # 300 first-stage RoIs/frame
-        head_loss_beta = float(eng.model_cfg["bbox_head"]["loss_bbox"].get(
-            "beta", 1.0))
+        head_loss_beta = float((eng.model_cfg["bbox_head"].get("loss_bbox")
+                                or {}).get("beta", 1.0))
 
         def loss_fn(params, sample, rng):
             imgs = sample["imgs"]                 # (F, H, W, 3)
@@ -266,7 +266,8 @@ class HNMBTrainer(BaseTrainer):
         ipv = int(head_cfg.get("imgs_per_video", 3))
         video_per_cls = 3
         chosen = 3
-        head_loss_beta = float(head_cfg["loss_bbox"].get("beta", 1.0))
+        head_loss_beta = float((head_cfg.get("loss_bbox") or {})
+                               .get("beta", 1.0))
 
         def loss_fn(params, sample, rng):
             imgs = sample["imgs"]               # (V*ipv, H, W, 3)

@@ -86,6 +86,73 @@ def test_test_cli_and_vid_eval(mini_vid, tmp_path):  # noqa: F811
     assert "mAP" in r2.stdout
 
 
+TRAIN_TAIL = '''
+train_cfg = dict(
+    rpn=dict(
+        assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.7, neg_iou_thr=0.3,
+                      min_pos_iou=0.3, ignore_iof_thr=-1),
+        sampler=dict(type='RandomSampler', num=32, pos_fraction=0.5,
+                     neg_pos_ub=-1, add_gt_as_proposals=False),
+        allowed_border=0, pos_weight=-1, debug=False),
+    rpn_proposal=dict(nms_across_levels=False, nms_pre=100, nms_post=16,
+                      max_num=16, nms_thr=0.7, min_bbox_size=0),
+    rcnn=dict(
+        assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.5, neg_iou_thr=0.5,
+                      min_pos_iou=0.5, ignore_iof_thr=-1),
+        sampler=dict(type='RandomSampler', num=16, pos_fraction=0.25,
+                     neg_pos_ub=-1, add_gt_as_proposals=True),
+        key_dim=0, pos_weight=-1, debug=False))
+data = dict(
+    train=dict(type='VIDSeqDataset',
+               ann_file='{root}/ImageSets/VID_train_15frames.txt',
+               img_prefix='{root}', selsa_with_aug=True,
+               pipeline=[
+                   dict(type='LoadImageFromFile', to_float32=True),
+                   dict(type='LoadAnnotations', with_bbox=True),
+                   dict(type='Resize', img_scale=(96, 64), keep_ratio=True),
+                   dict(type='RandomFlip', flip_ratio=0.5),
+                   dict(type='Normalize', mean=[103.06, 115.90, 123.15],
+                        std=[1.0, 1.0, 1.0], to_rgb=False),
+                   dict(type='Pad', size_divisor=16),
+                   dict(type='Collect',
+                        keys=['img', 'gt_bboxes', 'gt_labels'])]))
+optimizer = dict(lr=1e-3, momentum=0.9, weight_decay=1e-4)
+lr_config = dict(step=[1], warmup_iters=2, warmup_ratio=1.0 / 3)
+optimizer_config = dict(grad_clip=dict(max_norm=35))
+checkpoint_config = dict(interval=1)
+total_epochs = 1
+'''
+
+
+def test_train_cli(mini_vid, tmp_path):  # noqa: F811
+    """tools/train.py end to end on the fixture: epoch loop, checkpoints,
+    json log — the counterpart of the reference train CLI."""
+    # the test config's model section carries test-only keys; reuse TINY_CFG's
+    # model and append the train sections
+    cfg_src = TINY_CFG.format(root=mini_vid).split("test_cfg")[0] \
+        + TRAIN_TAIL.format(root=mini_vid)
+    cfg_path = str(tmp_path / "tiny_train_cfg.py")
+    with open(cfg_path, "w") as f:
+        f.write(cfg_src)
+    work = str(tmp_path / "run")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys; sys.argv=['train.py', %r, '--work-dir', %r,"
+         "'--total-epochs', '1', '--max-steps-per-epoch', '2',"
+         "'--canvas', '64', '96', '--n-devices', '1', '--seed', '0'];"
+         "sys.path.insert(0, %r);"
+         "import runpy; runpy.run_path(%r, run_name='__main__')"
+         % (cfg_path, work, REPO, osp.join(REPO, "tools/train.py"))],
+        capture_output=True, timeout=900, cwd=REPO, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert osp.isdir(osp.join(work, "epoch_1"))
+    assert osp.isdir(osp.join(work, "latest"))
+    with open(osp.join(work, "train_log.jsonl")) as f:
+        entries = [l for l in f if l.strip()]
+    assert entries
+
+
 def test_wait_for_parts_rendezvous(tmp_path):
     """rank-0 merge must wait for late ranks (reference test.py:568 barrier)."""
     import threading

@@ -30,6 +30,10 @@ def parse_args():
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--canvas", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="static training canvas (default: config canvas_hw "
+                        "or 608 1008, the (1000,600) keep-ratio bucket)")
     p.add_argument("--bf16", action="store_true")
     return p.parse_args()
 
@@ -60,9 +64,11 @@ def main():
     engine = build_detector(cfg.model, cfg.train_cfg, None,
                             dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
 
+    canvas = tuple(args.canvas or cfg.get("canvas_hw", (608, 1008)))
     train_detector(
         engine, dataset, cfg.as_dict(), mesh=mesh, work_dir=work_dir,
         total_epochs=args.total_epochs or cfg.get("total_epochs"),
+        canvas_hw=canvas,
         resume_from=args.resume_from or cfg.get("resume_from"),
         load_from=args.load_from or cfg.get("load_from"),
         max_steps_per_epoch=args.max_steps_per_epoch,
