@@ -99,6 +99,8 @@ def run_real_data(engine, params, n_frames: int, workers: int = 4,
 
     root = tempfile.mkdtemp(prefix="hvrnet_bench_vid_")
     ann_file = synth_video_dir(root, n_frames)
+    norm = next(t for t in REAL_DATA_PIPELINE if t["type"] == "Normalize")
+    engine.img_norm = dict(mean=tuple(norm["mean"]), std=tuple(norm["std"]))
 
     def mkds():
         return VIDSeqDataset(ann_file=ann_file, img_prefix=root,

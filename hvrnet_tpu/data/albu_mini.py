@@ -40,6 +40,11 @@ class _Transform:
             data = self.apply(data)
         return data
 
+    def force(self, data: Dict) -> Dict:
+        """Apply unconditionally (used by OneOf) — no shared-state mutation,
+        safe when a pipeline is shared across loader threads."""
+        return self.apply(data)
+
     def apply(self, data: Dict) -> Dict:
         raise NotImplementedError
 
@@ -253,14 +258,14 @@ class OneOf:
 
     def __call__(self, data):
         if self.members and np.random.rand() < self.p:
-            idx = np.random.choice(len(self.members), p=self.weights)
-            m = self.members[idx]
-            keep_p, m.p = m.p, 1.1   # force-apply
-            try:
-                data = m(data)
-            finally:
-                m.p = keep_p
+            data = self.force(data)
         return data
+
+    def force(self, data):
+        if not self.members:
+            return data
+        idx = np.random.choice(len(self.members), p=self.weights)
+        return self.members[idx].force(data)
 
 
 def build_albu(cfg: Dict):
@@ -288,19 +293,20 @@ class AlbuCompose:
     def __call__(self, **data):
         data.setdefault("bboxes", np.zeros((0, 4), np.float32))
         data["bboxes"] = np.asarray(data["bboxes"], np.float32).reshape(-1, 4)
-        pre_area = ((data["bboxes"][:, 2] - data["bboxes"][:, 0]) *
-                    (data["bboxes"][:, 3] - data["bboxes"][:, 1]))
         for t in self.transforms:
             data = t(data)
-        # clip + visibility filter (albu BboxParams semantics)
+        # clip + visibility filter (albu BboxParams semantics: visibility is
+        # the clipped area as a fraction of the TRANSFORMED pre-clip area, so
+        # a uniformly shrunk but fully visible box has visibility 1)
         h, w = data["image"].shape[:2]
         b = data["bboxes"]
         if len(b):
+            pre_clip = ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]))
             b = b.copy()
             b[:, [0, 2]] = b[:, [0, 2]].clip(0, w)
             b[:, [1, 3]] = b[:, [1, 3]].clip(0, h)
             area = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-            vis = np.where(pre_area > 0, area / np.maximum(pre_area, 1e-6), 0)
+            vis = np.where(pre_clip > 0, area / np.maximum(pre_clip, 1e-6), 0)
             keep = (area > 0) & (vis >= self.min_visibility)
             data["bboxes"] = b[keep]
             for f in self.label_fields:

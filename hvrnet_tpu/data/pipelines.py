@@ -415,6 +415,11 @@ class Albu:
         kw = {k: data[k] for k in
               ("image", "bboxes", "idx_mapper")
               if k in data}
+        # label_fields move in lockstep with bboxes (the reference hands the
+        # whole results dict to albumentations; transforms.py:790+)
+        for f in self.aug.label_fields:
+            if f in data and f not in kw:
+                kw[f] = data[f]
         out = self.aug(**kw)
         data.update(out)
         if self.filter_lost_elements and had_boxes:

@@ -126,35 +126,6 @@ class BaseEngine:
         return get_canvas(h, w, self.anchor_stride,
                           self.anchor_scales, self.anchor_ratios)
 
-    @functools.lru_cache(maxsize=8)
-    def _preprocess_u8_fn(self, canvas_h: int, canvas_w: int):
-        """uint8 canvas → normalized float32 canvas on device.
-
-        Replicates Normalize-then-Pad ordering (the reference normalizes the
-        resized image and pads with literal zeros, transforms.py:293,240):
-        pixels beyond img_shape are forced to 0, not (0−mean)/std."""
-        mean = tuple(float(v) for v in self.img_norm["mean"])
-        std = tuple(float(v) for v in self.img_norm["std"])
-
-        def fn(img, img_shape):
-            m = jnp.asarray(mean, jnp.float32)
-            inv = 1.0 / jnp.asarray(std, jnp.float32)
-            x = (img.astype(jnp.float32) - m) * inv
-            ish = jnp.atleast_2d(img_shape)                 # (B, 2)
-            yy = jnp.arange(canvas_h, dtype=jnp.float32)
-            xx = jnp.arange(canvas_w, dtype=jnp.float32)
-            valid = ((yy[None, :, None] < ish[:, 0, None, None]) &
-                     (xx[None, None, :] < ish[:, 1, None, None]))  # (B, H, W)
-            return x * valid[..., None]
-
-        return jax.jit(fn)
-
-    def _maybe_preprocess(self, img, img_shape):
-        if img.dtype == jnp.uint8:
-            return self._preprocess_u8_fn(img.shape[1], img.shape[2])(
-                img, jnp.asarray(img_shape, jnp.float32))
-        return img
-
     # -------------------------------------------------------- frame program
     # The per-frame work is compiled as TWO programs (backbone+maps, then
     # proposals+RoIAlign+fc1): fused into one, XLA's compile time on this
@@ -171,6 +142,45 @@ class BaseEngine:
             return c5, cls_map, reg_map
 
         return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=8)
+    def _frame_backbone_u8_fn(self, canvas_h: int, canvas_w: int,
+                              mean: tuple = None, std: tuple = None):
+        """Backbone program for raw uint8 canvases: normalization and the
+        pad-zero mask fuse into the same jit (no extra dispatch / HBM round
+        trip).  Replicates Normalize-then-Pad ordering (the reference
+        normalizes the resized image and pads with literal zeros,
+        transforms.py:293,240): pixels beyond img_shape are forced to 0, not
+        (0−mean)/std.  mean/std are part of the cache key so a late
+        engine.img_norm override can never hit a stale compiled program."""
+        mod = self.module
+
+        def fn(params, img, img_shape):
+            m = jnp.asarray(mean, jnp.float32)
+            inv = 1.0 / jnp.asarray(std, jnp.float32)
+            x = (img.astype(jnp.float32) - m) * inv
+            ish = jnp.atleast_2d(img_shape)                 # (B, 2)
+            yy = jnp.arange(canvas_h, dtype=jnp.float32)
+            xx = jnp.arange(canvas_w, dtype=jnp.float32)
+            valid = ((yy[None, :, None] < ish[:, 0, None, None]) &
+                     (xx[None, None, :] < ish[:, 1, None, None]))  # (B, H, W)
+            img = x * valid[..., None]
+            c4 = mod.apply(params, img, method=mod.extract_feat)
+            c5 = mod.apply(params, c4, method=mod.shared)
+            cls_map, reg_map = mod.apply(params, c4, method=mod.rpn)
+            return c5, cls_map, reg_map
+
+        return jax.jit(fn)
+
+    def _backbone_dispatch(self, params, img, img_shape):
+        h, w = img.shape[1], img.shape[2]
+        if img.dtype == jnp.uint8:
+            fn = self._frame_backbone_u8_fn(
+                h, w,
+                tuple(float(v) for v in self.img_norm["mean"]),
+                tuple(float(v) for v in self.img_norm["std"]))
+            return fn(params, img, jnp.asarray(img_shape, jnp.float32))
+        return self._frame_backbone_fn(h, w)(params, img)
 
     @functools.lru_cache(maxsize=8)
     def _frame_post_fn(self, canvas_h: int, canvas_w: int):
@@ -192,10 +202,9 @@ class BaseEngine:
 
     def frame_features(self, params, img: jnp.ndarray, img_shape, pad_shape):
         """img: (1, H, W, 3) canvas-padded — normalized float32, or raw uint8
-        (normalization then runs on device, see _preprocess_u8_fn)."""
-        img = self._maybe_preprocess(img, img_shape)
+        (normalization then fuses into the backbone program)."""
         h, w = img.shape[1], img.shape[2]
-        c5, cls_map, reg_map = self._frame_backbone_fn(h, w)(params, img)
+        c5, cls_map, reg_map = self._backbone_dispatch(params, img, img_shape)
         return self._frame_post_fn(h, w)(
             params, c5, cls_map, reg_map,
             jnp.asarray(img_shape, jnp.float32),
@@ -344,9 +353,8 @@ class BaseEngine:
                                pad_shapes):
         """imgs: (B, H, W, 3) — one frame from each of B video streams.
         Returns dict of (B, …) per-frame caches."""
-        imgs = self._maybe_preprocess(imgs, img_shapes)
         h, w = imgs.shape[1], imgs.shape[2]
-        c5, cls_map, reg_map = self._frame_backbone_fn(h, w)(params, imgs)
+        c5, cls_map, reg_map = self._backbone_dispatch(params, imgs, img_shapes)
         return self._frame_post_batched_fn(h, w)(
             params, c5, cls_map, reg_map,
             jnp.asarray(img_shapes, jnp.float32),

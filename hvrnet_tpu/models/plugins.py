@@ -203,6 +203,14 @@ class GeneralizedAttention(nn.Module):
             energy = jnp.einsum("hd,bkhd->bhk", appr_bias, k,
                                 preferred_element_type=f32)
             energy = energy[:, :, None, :]                  # (B, heads, 1, K)
+            if self.spatial_range >= 0:
+                # the reference applies the constraint map after the fast
+                # path sets h=w=1 (generalized_attention.py:349-356): the
+                # allowed kv window is query position (0,0)'s
+                forbid = _local_constraint_mask(1, 1, Hk, Wk,
+                                                self.spatial_range,
+                                                self.kv_stride)
+                energy = jnp.where(forbid[None, None], -jnp.inf, energy)
             Hq, Wq = 1, 1
         else:
             Hq, Wq = H, W

@@ -149,6 +149,46 @@ def test_u8_transfer_equals_float_path(mini_vid):  # noqa: F811
                                        err_msg=str(i))
 
 
+def test_u8_transfer_honors_engine_img_norm(mini_vid):  # noqa: F811
+    """With a NON-default Normalize in the pipeline, the u8 path must use
+    the matching engine.img_norm override (tools/test.py wires it from the
+    config) — guards against silently normalizing with the default."""
+    import jax
+    from hvrnet_tpu.data import VIDSeqDataset
+    from hvrnet_tpu.engine import SelsaRCNN, SlidingWindowRunner
+    from hvrnet_tpu.engine.stream import parallel_test_frame_stream
+    from tests.test_engine_selsa import tiny_selsa_cfg
+
+    mean, std = [10.0, 20.0, 30.0], [2.0, 3.0, 4.0]
+    pipe = [dict(t) for t in TEST_PIPELINE]
+    for t in pipe:
+        if t["type"] == "Normalize":
+            t["mean"], t["std"] = mean, std
+
+    model_cfg, test_cfg = tiny_selsa_cfg(window_interval=1, proposals=8)
+    engine = SelsaRCNN(model_cfg, None, test_cfg)
+    engine.img_norm = dict(mean=tuple(mean), std=tuple(std))
+    params = engine.init_params(jax.random.PRNGKey(0))
+    ann = osp.join(mini_vid, "ImageSets/VID_val_videos.txt")
+
+    def mkds():
+        return VIDSeqDataset(ann_file=ann, img_prefix=mini_vid,
+                             pipeline=pipe, test_mode=True,
+                             world_size=1, video_shuffle=False)
+
+    f32 = SlidingWindowRunner(engine, params).run(
+        parallel_test_frame_stream(mkds(), rank=0, workers=2,
+                                   max_long=96, max_short=64), num_frames=8)
+    u8 = SlidingWindowRunner(engine, params).run(
+        parallel_test_frame_stream(mkds(), rank=0, workers=2, max_long=96,
+                                   max_short=64, u8_transfer=True),
+        num_frames=8)
+    for i, (a, b) in enumerate(zip(f32, u8)):
+        for ca, cb in zip(a, b):
+            np.testing.assert_allclose(ca, cb, rtol=1e-4, atol=1e-4,
+                                       err_msg=str(i))
+
+
 def test_batched_equals_sequential(mini_vid):  # noqa: F811
     import jax
     from hvrnet_tpu.data import VIDSeqDataset

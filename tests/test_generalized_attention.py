@@ -63,14 +63,21 @@ def oracle(x, p, attention_type, heads, kv_stride=2, q_stride=1,
                  ).reshape(h, h_kv, heads, qk) / np.sqrt(2)
 
     if sum(at) == 1 and at[2]:
-        # saliency fast path (ref:241-249)
+        # saliency fast path (ref:241-249); spatial_range still masks with
+        # query position (0,0)'s window (ref:349-356)
         energy = np.zeros((Bn, heads, 1, h_kv * w_kv))
         for b in range(Bn):
             for hd in range(heads):
                 idx = 0
                 for ky in range(h_kv):
                     for kx in range(w_kv):
-                        energy[b, hd, 0, idx] = appr_bias[hd] @ k[b, ky, kx, hd]
+                        e = appr_bias[hd] @ k[b, ky, kx, hd]
+                        if spatial_range >= 0:
+                            ky_hi = (0 + spatial_range + 1) // kv_stride
+                            kx_hi = (0 + spatial_range + 1) // kv_stride
+                            if not (ky <= ky_hi and kx <= kx_hi):
+                                e = -np.inf
+                        energy[b, hd, 0, idx] = e
                         idx += 1
         attn = np.exp(energy - energy.max(-1, keepdims=True))
         attn /= attn.sum(-1, keepdims=True)
@@ -173,6 +180,7 @@ def test_saliency_fast_path_matches_oracle():
 def test_spatial_range_constraint_matches_oracle():
     _run("1000", spatial_range=2, kv_stride=2)
     _run("1111", spatial_range=1, kv_stride=1)
+    _run("0010", spatial_range=2, kv_stride=2)   # fast path + constraint
 
 
 def test_gamma_zero_is_identity():

@@ -108,6 +108,17 @@ def main():
 
     engine = build_detector(cfg.model, None, cfg.test_cfg,
                             dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    if args.u8_transfer:
+        # the device-side normalize must use THIS config's img_norm values
+        norm = next((t for t in cfg.data.test["pipeline"]
+                     if t["type"] == "Normalize"), None)
+        if norm is not None:
+            if norm.get("to_rgb", False):
+                raise SystemExit("--u8-transfer supports to_rgb=False "
+                                 "pipelines only (BGR, like both shipped "
+                                 "configs)")
+            engine.img_norm = dict(mean=tuple(norm["mean"]),
+                                   std=tuple(norm["std"]))
     params = load_params_for_engine(engine, args.checkpoint)
 
     done = [0]
@@ -124,6 +135,9 @@ def main():
     if args.batched:
         if args.aug_test:
             raise SystemExit("--batched and --aug-test are exclusive")
+        if args.timing:
+            raise SystemExit("--timing is not supported with --batched "
+                             "(the lockstep runner has no per-phase timer)")
         from hvrnet_tpu.engine.batched_runner import BatchedSlidingWindowRunner
         if args.window:   # the batched ring buffers follow engine.window
             engine.window = args.window
