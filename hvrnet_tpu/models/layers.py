@@ -96,6 +96,44 @@ class ConvModule(nn.Module):
         return x
 
 
+class ConvWS(nn.Module):
+    """Weight-standardized conv (reference `mmdet/models/utils/conv_ws.py`):
+    the kernel is normalized per OUTPUT channel to zero mean / unit std
+    (+eps) before the convolution — the conv_cfg=dict(type='ConvWS') option
+    zoo configs pair with GN.  Torch standardizes over (Cin, kh, kw) per
+    output channel; HWIO axes (0, 1, 2) here are the same set."""
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: int = 0
+    dilation: Tuple[int, int] = (1, 1)
+    use_bias: bool = True
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            (kh, kw, cin, self.features), jnp.float32)
+        mean = kernel.mean(axis=(0, 1, 2), keepdims=True)
+        # torch .std() is the Bessel-corrected sample std
+        std = kernel.std(axis=(0, 1, 2), keepdims=True, ddof=1)
+        kernel = (kernel - mean) / (std + self.eps)
+        pad = ((self.padding, self.padding), (self.padding, self.padding))
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=self.strides, padding=pad,
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            out = out + bias.astype(self.dtype)
+        return out
+
+
 def normal_init(std: float):
     return nn.initializers.normal(stddev=std)
 

@@ -123,3 +123,36 @@ def test_backbone_with_plugins():
     np.testing.assert_allclose(np.asarray(remat.apply(p_remat, x)[0]),
                                np.asarray(plain.apply(p_plain, x)[0]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_conv_ws_matches_torch_semantics():
+    """ConvWS standardizes the kernel per output channel (Bessel std + eps)
+    before convolving — verified against a direct numpy transcription of the
+    torch reference (conv_ws.py:conv_ws_2d)."""
+    from hvrnet_tpu.models.layers import ConvWS
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(1, 6, 7, 3)).astype(np.float32)
+    mod = ConvWS(features=4, kernel_size=(3, 3), padding=1)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got = np.asarray(mod.apply(params, jnp.asarray(x)))
+
+    k = np.asarray(params["params"]["kernel"], np.float64)      # HWIO
+    b = np.asarray(params["params"]["bias"], np.float64)
+    flat = k.reshape(-1, k.shape[-1])                           # (khkwCin, O)
+    kn = (k - flat.mean(0)) / (flat.std(0, ddof=1) + 1e-5)
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x, jnp.float64), jnp.asarray(kn),
+        (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_get_classes_registry():
+    from hvrnet_tpu.core.evaluation import get_classes
+    assert len(get_classes("voc")) == 20
+    assert len(get_classes("coco")) == 80
+    assert len(get_classes("vid")) == 30
+    assert get_classes("wider_face") == ["face"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        get_classes("nope")
