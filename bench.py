@@ -149,6 +149,9 @@ def main():
     # are slow over the device tunnel), then transfers once.
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         params = engine.init_params(jax.random.PRNGKey(0))
+    # bit-identical bf16 copies of the head kernels (the bf16 apply path
+    # would cast them per call; fc_new_1 alone is 205 MB f32)
+    params = engine.cast_head_params_bf16(params)
     params = jax.device_put(params, jax.devices()[0])
 
     if args.real_data:

@@ -108,6 +108,31 @@ class BaseEngine:
         img = jnp.zeros((1, canvas_hw[0], canvas_hw[1], 3), jnp.float32)
         return self.module.init(rng, img)
 
+    def cast_head_params_bf16(self, params):
+        """bf16 copies of the relation-head kernels for inference.
+
+        Under ``dtype=bfloat16`` the apply path casts every f32 kernel to
+        bf16 at EACH call — for fc_new_1 that is a 205 MB read+convert per
+        frame.  Pre-casting the bbox_head subtree is bit-identical (the same
+        cast, done once) and was measured at Δboxes == 0.0 on-chip; the
+        backbone stays f32-param (casting it regressed conv time).  No-op
+        when the engine computes in f32."""
+        if self.dtype != jnp.bfloat16:
+            return params
+        import jax.tree_util as jtu
+
+        def cast(x):
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2:
+                return x.astype(jnp.bfloat16)
+            return x
+
+        p = dict(params)
+        inner = dict(p["params"])
+        if "bbox_head" in inner:
+            inner["bbox_head"] = jtu.tree_map(cast, inner["bbox_head"])
+        p["params"] = inner
+        return p
+
     def enable_kv_sharded_attention(self, mesh) -> None:
         """Shard the relation head's K/V axis over ``mesh`` (sequence
         parallelism for windows beyond one chip's HBM; exact — see

@@ -87,3 +87,32 @@ def test_selsa_window_is_causal_consistent():
     runner = SlidingWindowRunner(engine, params)
     results = runner.run(synthetic_stream(3), num_frames=3)
     assert sum(r is not None for r in results) == 3
+
+
+def test_cast_head_params_bf16_is_bit_identical():
+    """Pre-casting the head kernels to bf16 must match the per-call cast the
+    bf16 apply path does anyway (and be a no-op for f32 engines)."""
+    model_cfg, test_cfg = tiny_selsa_cfg(window_interval=1, proposals=8)
+    eng16 = SelsaRCNN(model_cfg, None, test_cfg, dtype=jnp.bfloat16)
+    params = eng16.init_params(jax.random.PRNGKey(0))
+    cast = eng16.cast_head_params_bf16(params)
+    assert cast["params"]["bbox_head"]["fc_new_1"]["kernel"].dtype == jnp.bfloat16
+    assert cast["params"]["backbone"]["stem"]["conv"]["kernel"].dtype == jnp.float32
+
+    rng = np.random.default_rng(9)
+    T, P = 3, 8
+    fc1 = jnp.asarray(rng.normal(size=(T, P, 1024)).astype(np.float32))
+    boxes = jnp.asarray(np.concatenate(
+        [rng.random((T, P, 2)) * 40, 40 + rng.random((T, P, 2)) * 40],
+        axis=-1).astype(np.float32))
+    masks = jnp.ones((T, P), bool)
+    ish = np.array([86.0, 118.0], np.float32)
+    sf = np.ones((4,), np.float32)
+    a = eng16.window_detect(params, fc1, boxes, masks, ish, sf)
+    b = eng16.window_detect(cast, fc1, boxes, masks, ish, sf)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    engf = SelsaRCNN(model_cfg, None, test_cfg)
+    pf = engf.init_params(jax.random.PRNGKey(0))
+    assert engf.cast_head_params_bf16(pf) is pf

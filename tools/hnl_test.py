@@ -91,6 +91,7 @@ def main():
                              f"the window length {window}")
         engine.multi_pass = args.multi_pass
     params = load_params_for_engine(engine, args.checkpoint)
+    params = engine.cast_head_params_bf16(params)   # no-op unless --bf16
 
     prepad = None
     if args.pre_padding == "random":

@@ -120,6 +120,7 @@ def main():
             engine.img_norm = dict(mean=tuple(norm["mean"]),
                                    std=tuple(norm["std"]))
     params = load_params_for_engine(engine, args.checkpoint)
+    params = engine.cast_head_params_bf16(params)   # no-op unless --bf16
 
     done = [0]
 
