@@ -152,6 +152,7 @@ def test_get_classes_registry():
     assert len(get_classes("voc")) == 20
     assert len(get_classes("coco")) == 80
     assert len(get_classes("vid")) == 30
+    assert len(get_classes("det")) == 200
     assert get_classes("wider_face") == ["face"]
     import pytest as _pytest
     with _pytest.raises(ValueError):
