@@ -153,6 +153,27 @@ def test_train_cli(mini_vid, tmp_path):  # noqa: F811
     assert entries
 
 
+def test_robustness_cli(mini_vid, tmp_path):  # noqa: F811
+    """tools/test_robustness.py end to end over the fixture: one corruption
+    at one severity must run the full test loop and write result pickles."""
+    cfg_path = str(tmp_path / "tiny_cfg.py")
+    with open(cfg_path, "w") as f:
+        f.write(TINY_CFG.format(root=mini_vid))
+    prefix = str(tmp_path / "rob")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys; sys.argv=['test_robustness.py', %r, '--corruptions',"
+         "'gaussian_noise', '--severities', '1', '--out-prefix', %r];"
+         "sys.path.insert(0, %r);"
+         "import runpy; runpy.run_path(%r, run_name='__main__')"
+         % (cfg_path, prefix, REPO, osp.join(REPO, "tools/test_robustness.py"))],
+        capture_output=True, timeout=900, cwd=REPO, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    outs = [p for p in os.listdir(tmp_path) if p.startswith("rob")]
+    assert outs, r.stdout[-1000:]
+
+
 def test_wait_for_parts_rendezvous(tmp_path):
     """rank-0 merge must wait for late ranks (reference test.py:568 barrier)."""
     import threading
