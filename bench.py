@@ -34,16 +34,29 @@ import numpy as np
 BASELINE_FPS = 4.0  # documented proxy (BASELINE.md): reference impl. per GPU
 
 
-def build_engine(model: str):
+def build_engine(model: str, window=None):
+    """window: override the cache length; the head's t_dim/key_dim derive
+    from it BEFORE the module is built (window ↔ t_dim are one quantity —
+    mutating only engine.window would attend just the first t_dim frames of
+    the ring, a semantically wrong, cheaper graph)."""
     import jax.numpy as jnp
     from hvrnet_tpu.utils.config import Config
     if model == "hvrnet":
         from hvrnet_tpu.engine import HNMBRCNN
         cfg = Config.fromfile("configs/faster_rcnn_r101_hrnmp_c5.py")
-        return HNMBRCNN(cfg.model, None, cfg.test_cfg, dtype=jnp.bfloat16)
-    from hvrnet_tpu.engine import SelsaRCNN
-    cfg = Config.fromfile("configs/faster_rcnn_r101_selsa_c5.py")
-    return SelsaRCNN(cfg.model, None, cfg.test_cfg, dtype=jnp.bfloat16)
+        cls = HNMBRCNN
+    else:
+        from hvrnet_tpu.engine import SelsaRCNN
+        cfg = Config.fromfile("configs/faster_rcnn_r101_selsa_c5.py")
+        cls = SelsaRCNN
+    if window:
+        cfg.test_cfg["bbox_head"]["t_dim"] = int(window)
+        cfg.test_cfg["bbox_head"]["key_dim"] = (int(window) - 1) // 2
+    engine = cls(cfg.model, None, cfg.test_cfg, dtype=jnp.bfloat16)
+    if window:
+        engine.window = int(window)
+        engine.key_dim = (int(window) - 1) // 2
+    return engine
 
 
 REAL_DATA_PIPELINE = [
@@ -141,10 +154,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/hvrnet_tpu_xla_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-    engine = build_engine(args.model)
-    if args.window:
-        engine.window = args.window
-        engine.key_dim = (args.window - 1) // 2
+    engine = build_engine(args.model, window=args.window)
     # parameter init runs on the host CPU backend (hundreds of tiny programs
     # are slow over the device tunnel), then transfers once.
     with jax.default_device(jax.local_devices(backend="cpu")[0]):

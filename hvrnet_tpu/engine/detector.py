@@ -333,12 +333,14 @@ class BaseEngine:
         return jax.jit(fn)
 
     def window_detect_aug(self, params, fc1_stacks, boxes_ori, masks,
-                          img_shapes, scale_factors, flips, branch=None):
+                          img_shapes, scale_factors, flips, branch=None,
+                          key_dim: Optional[int] = None):
         """fc1_stacks: (A, T, P, D); boxes_ori: (T, P, 4) merged original-
         coordinate proposals; masks: (T, P).  Returns (dets, labels, mask)
         in original-image coordinates."""
         t = fc1_stacks.shape[1]
-        fn = self._window_aug_fn(t, self.key_dim, tuple(flips), branch)
+        fn = self._window_aug_fn(t, self.key_dim if key_dim is None
+                                 else key_dim, tuple(flips), branch)
         return fn(params, fc1_stacks, boxes_ori, masks,
                   jnp.asarray(np.asarray(img_shapes), jnp.float32),
                   jnp.asarray(np.asarray(scale_factors), jnp.float32))
@@ -806,15 +808,13 @@ class FasterRCNN(BaseEngine):
                 cls, reg = mod.apply(params, pooled, 0, rois.shape[0], mmask,
                                      method=mod.bbox_forward)
                 scores = jax.nn.softmax(cls.astype(jnp.float32), axis=-1)
-                if reg.shape[-1] == 4:
-                    deltas = reg.astype(jnp.float32)
-                else:
-                    lbl = jnp.argmax(scores[:, 1:], axis=1) + 1
-                    deltas = jnp.take_along_axis(
-                        reg.astype(jnp.float32).reshape(reg.shape[0], -1, 4),
-                        lbl[:, None, None], axis=1)[:, 0]
-                bboxes = delta2bbox(boxes_a, deltas, self.target_means,
-                                    self.target_stds, img_shapes[a])
+                # decode EVERY class's deltas ((N, 4C) flows through
+                # delta2bbox / merge_aug_bboxes / multiclass NMS just like
+                # simple_test and the reference aug_test — collapsing to the
+                # argmax class would give other classes the wrong boxes)
+                bboxes = delta2bbox(boxes_a, reg.astype(jnp.float32),
+                                    self.target_means, self.target_stds,
+                                    img_shapes[a])
                 aug_boxes.append(bboxes)
                 aug_scores.append(scores)
             merged_b, merged_s = merge_aug_bboxes(aug_boxes, aug_scores,

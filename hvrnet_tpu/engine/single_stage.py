@@ -119,8 +119,8 @@ class SingleStageEngine:
                     # score_thr, which is equivalent.
                     scores = scores * keep[:, None]
                 deltas = rm[0].reshape(-1, 4).astype(jnp.float32)
-                nms_pre = int(cfg.get("nms_pre", 1000))
-                if scores.shape[0] > nms_pre:
+                nms_pre = int(cfg.get("nms_pre", -1))   # reference default: disabled
+                if 0 < nms_pre < scores.shape[0]:
                     top, idx = jax.lax.top_k(scores.max(axis=1), nms_pre)
                     scores = scores[idx]
                     deltas = deltas[idx]
@@ -145,17 +145,9 @@ class SingleStageEngine:
         """SSD decode (reference ssd_head via anchor_head.get_bboxes with
         use_sigmoid_cls=False): softmax scores including the background
         column, SSD anchor scheme, no score-column prepend."""
-        from ..ops.anchors import ssd_anchor_generators
+        from ..ops.anchors import ssd_anchor_generators_from_cfg
         mod = self.module
-        strides = tuple(head_cfg.get("anchor_strides",
-                                     (8, 16, 32, 64, 100, 300)))
-        gens = ssd_anchor_generators(
-            input_size=int(head_cfg.get("input_size", 300)),
-            num_levels=len(strides), anchor_strides=strides,
-            basesize_ratio_range=tuple(head_cfg.get("basesize_ratio_range",
-                                                    (0.1, 0.9))),
-            anchor_ratios=head_cfg.get(
-                "anchor_ratios", ([2], [2, 3], [2, 3], [2, 3], [2], [2])))
+        gens, strides = ssd_anchor_generators_from_cfg(head_cfg)
         nc = self.num_classes
 
         def fn(params, img, img_shape, scale_factor):
@@ -167,8 +159,8 @@ class SingleStageEngine:
                 scores = jax.nn.softmax(
                     cm[0].reshape(-1, nc).astype(jnp.float32), axis=-1)
                 deltas = rm[0].reshape(-1, 4).astype(jnp.float32)
-                nms_pre = int(cfg.get("nms_pre", 1000))
-                if scores.shape[0] > nms_pre:
+                nms_pre = int(cfg.get("nms_pre", -1))   # reference default: disabled
+                if 0 < nms_pre < scores.shape[0]:
                     # rank by best foreground score (anchor_head.py:329-334)
                     _, idx = jax.lax.top_k(scores[:, 1:].max(axis=1), nms_pre)
                     scores = scores[idx]
@@ -268,8 +260,8 @@ class SingleStageEngine:
                     jnp.zeros(4, jnp.float32),
                     jnp.stack([img_shape[1] - 1, img_shape[0] - 1,
                                img_shape[1] - 1, img_shape[0] - 1]))
-                nms_pre = int(cfg.get("nms_pre", 1000))
-                if scores.shape[0] > nms_pre:
+                nms_pre = int(cfg.get("nms_pre", -1))   # reference default: disabled
+                if 0 < nms_pre < scores.shape[0]:
                     _, idx = jax.lax.top_k(scores.max(axis=1), nms_pre)
                     scores = scores[idx]
                     boxes = boxes[idx]

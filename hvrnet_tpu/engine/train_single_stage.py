@@ -255,7 +255,7 @@ class SSDTrainer(RetinaTrainer):
     per-level map shapes (SSD strides 100/300 don't ceil-divide the canvas)."""
 
     def _build_loss_fn(self, canvas_h: int, canvas_w: int):
-        from ..ops.anchors import ssd_anchor_generators
+        from ..ops.anchors import ssd_anchor_generators_from_cfg
         from .train_mask import ssd_targets_and_loss
         eng = self.engine
         mod = eng.module
@@ -263,15 +263,7 @@ class SSDTrainer(RetinaTrainer):
         nc = int(head.get("num_classes", 81))
         means = tuple(head.get("target_means", (0., 0., 0., 0.)))
         stds = tuple(head.get("target_stds", (0.1, 0.1, 0.2, 0.2)))
-        strides = tuple(head.get("anchor_strides", (8, 16, 32, 64, 100, 300)))
-        ratios = head.get("anchor_ratios",
-                          ([2], [2, 3], [2, 3], [2, 3], [2], [2]))
-        gens = ssd_anchor_generators(
-            input_size=int(head.get("input_size", 300)),
-            num_levels=len(strides), anchor_strides=strides,
-            basesize_ratio_range=tuple(head.get("basesize_ratio_range",
-                                                (0.1, 0.9))),
-            anchor_ratios=ratios)
+        gens, strides = ssd_anchor_generators_from_cfg(head)
         tcfg = eng.train_cfg or {}
         neg_pos_ratio = int(tcfg.get("neg_pos_ratio", 3))
         beta = float(tcfg.get("smoothl1_beta", 1.0))

@@ -78,6 +78,10 @@ class SlidingWindowRunner:
         # (hnl_test.py:pre_padding_imgs:293).  When set, this callable maps
         # the video's first frame dict to a list of (T+1)//2 − 1 frame dicts
         # pushed before it.
+        if aug and prepad_provider is not None:
+            raise ValueError("aug testing and random pre-padding cannot be "
+                             "combined (prepad frames carry single-variant "
+                             "caches; the aug window needs per-aug stacks)")
         self.prepad_provider = prepad_provider
 
     # ------------------------------------------------------------------ run
@@ -146,14 +150,18 @@ class SlidingWindowRunner:
                     out = self.engine.window_detect_aug(
                         self.params, fc1, boxes, masks, m["img_shapes"],
                         m["scale_factors"], m["flips"],
-                        branch=self.device_branch)
+                        branch=self.device_branch, key_dim=self.key_dim)
                 else:
                     fc1 = jnp.stack([c["fc1"] for c in cache])
                     boxes = jnp.stack([c["boxes"] for c in cache])
                     masks = jnp.stack([c["mask"] for c in cache])
+                    # key_dim must follow the RUNNER's window (a --window
+                    # override changes it; the engine default would decode
+                    # the wrong frame)
                     out = self.engine.window_detect(
                         self.params, fc1, boxes, masks, m["img_shape"],
-                        m["scale_factor"], branch=self.device_branch)
+                        m["scale_factor"], branch=self.device_branch,
+                        key_dim=self.key_dim)
                 _handle_detection(out, m)
 
         # Per-frame device→host pulls pay one tunnel/PCIe round trip EACH;

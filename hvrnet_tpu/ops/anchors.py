@@ -75,6 +75,20 @@ class AnchorGenerator:
         return np.repeat(valid, self.num_base_anchors)
 
 
+def ssd_anchor_generators_from_cfg(head_cfg):
+    """SSD anchor generators + strides straight from an SSDHead config dict —
+    the single source for train- and test-time anchor schemes."""
+    strides = tuple(head_cfg.get("anchor_strides", (8, 16, 32, 64, 100, 300)))
+    gens = ssd_anchor_generators(
+        input_size=int(head_cfg.get("input_size", 300)),
+        num_levels=len(strides), anchor_strides=strides,
+        basesize_ratio_range=tuple(head_cfg.get("basesize_ratio_range",
+                                                (0.1, 0.9))),
+        anchor_ratios=head_cfg.get(
+            "anchor_ratios", ([2], [2, 3], [2, 3], [2, 3], [2], [2])))
+    return gens, strides
+
+
 def ssd_anchor_generators(input_size: int = 300,
                           num_levels: int = 6,
                           anchor_strides: Sequence[int] = (8, 16, 32, 64, 100, 300),

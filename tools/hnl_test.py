@@ -103,9 +103,13 @@ def main():
         # map each video's (rank-rebased) start frame id to its info: the
         # dataset's cur_video_index is a stateful eval-iterator variable and
         # the prefetch thread runs ahead of the runner, so the video must be
-        # identified from the frame itself
-        start2info = {int(info["frame_id"]): info
-                      for info in dataset.img_infos}
+        # identified from the frame itself.  ONLY this rank's videos: frame
+        # ids are rebased per rank (vid_dataset.get_indices), so ids collide
+        # across ranks and a global map would return another rank's video.
+        rank_videos = sorted(set(dataset.global_video_list[i]
+                                 for i in dataset.indices_list[args.rank]))
+        start2info = {int(dataset.img_infos[v]["frame_id"]):
+                      dataset.img_infos[v] for v in rank_videos}
 
         def prepad(first_frame):
             """Fetch half−1 random same-video frames through the pipeline
