@@ -143,6 +143,16 @@ def test_faster_rcnn_aug_test_duplicate_identity():
     eng = FasterRCNN(cfg, None, test_cfg)
     params = eng.init_params(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
+    # inflate fc_reg so per-class deltas are SIGNIFICANT — at the default
+    # std=0.001 init the deltas are ~0 and the identity would pass even if
+    # aug_test decoded the wrong class's boxes (it once collapsed to the
+    # argmax class; this keeps that regression visible)
+    p = dict(params); inner = dict(p["params"]); bh = dict(inner["bbox_head"])
+    fr = dict(bh["fc_reg"])
+    fr["kernel"] = jnp.asarray(
+        rng.normal(0, 0.05, np.asarray(fr["kernel"]).shape).astype(np.float32))
+    bh["fc_reg"] = fr; inner["bbox_head"] = bh; p["params"] = inner
+    params = p
     h, w = 64, 96
     img = rng.normal(size=(1, h, w, 3)).astype(np.float32)
     ish = np.array([h - 4.0, w - 2.0], np.float32)
