@@ -154,6 +154,144 @@ def test_hrnmp_multi_pass_matches_reference_equations():
                                rtol=1e-4, atol=1e-4)
 
 
+def np_hrnmp_train_oracle(p, feats, labels_key, margin, nongt_per_video,
+                          S):
+    """Numpy re-derivation of the reference training forward
+    (`/root/reference/mmdet/models/bbox_heads/hrnmp_bbox_head.py:609-795`
+    with ``dynamic=False`` as hardcoded at `hnmb_rcnn.py:431`) plus the
+    hardest-proposal mining (`:357-414` / `:512-563`) and the margin hinge
+    over the mined similarities.  Returns (cls_branch, cls_final,
+    reg_branch, reg_final, loss_trip, mined) where ``mined`` is the
+    (anchors, diff_max_idx, same_min_idx) triple for inspection."""
+    V, N = feats.shape[0], feats.shape[1]
+    D = p["fc_new_1"]["kernel"].shape[1]
+    cls_branches, reg_branches, video_feats = [], [], []
+    for v in range(V):
+        x = feats[v].reshape(N, -1)
+        fc1 = np_linear(p["fc_new_1"], x)
+        att1 = np_nl_block(p["selsa_1"], fc1, fc1[:nongt_per_video], D)
+        fc_all_1 = relu(fc1 + att1)                       # ref:663-666
+        fc2 = np_linear(p["fc_new_2"], fc_all_1)
+        # NL2 queries = key rows only (idx_output_cur_only, start=0; ref:683-688)
+        att2 = np_nl_block(p["selsa_2"], fc2[:S], fc2[:nongt_per_video], D)
+        fc_all_2 = relu(fc2[:S] + att2)
+        cls_branches.append(np_linear(p["fc_cls"], fc_all_2))
+        reg_branches.append(np_linear(p["fc_reg"], fc_all_2))
+        # NL3 input splice (ref:708-710; leading fc1 segment empty at start=0)
+        fc3_in = np.concatenate([fc_all_2, fc1[S:]], axis=0)
+        fc3 = np_linear(p["fc_new_3"], fc3_in)
+        att3 = np_nl_block(p["selsa_3"], fc3[:S], fc3[:nongt_per_video], D)
+        video_feats.append(relu(fc3[:S] + att3))
+
+    feats4 = np.concatenate(video_feats, axis=0)          # (V*S, D)
+    nongt4 = min(feats4.shape[0], feats4.shape[0])
+    fc4 = np_linear(p["fc_new_4"], feats4)
+    q4 = np_linear(p["selsa_4"]["q_data_fc"], fc4)
+    k4 = np_linear(p["selsa_4"]["k_data_fc"], fc4[:nongt4])
+    aff4 = q4 @ k4.T / np.sqrt(D)                         # aff_scale (ref:498)
+    w = np.exp(aff4 - aff4.max(axis=1, keepdims=True))
+    w /= w.sum(axis=1, keepdims=True)
+    att4 = np_linear(p["selsa_4"]["linear_out"], w @ fc4[:nongt4])
+    fc_all_4 = relu(fc4 + att4)                           # ref:766,783
+    cls_final = np_linear(p["fc_cls_2"], fc_all_4)
+    reg_final = np_linear(p["fc_reg_2"], fc_all_4)
+
+    # hardest-proposal mining (ref:512-545): for each non-bg anchor, the
+    # MOST similar different-class key (inds_for_pos_sm, ref:527-533) and
+    # the LEAST similar same-class key (inds_for_pos_nsm, ref:537-543);
+    # the return at :414 / the compute_loss call at :559-563 pass them in
+    # inverted slots (acknowledged in-code), so the hinge rewards high
+    # diff-class similarity: max(0, margin + sim_same_min - sim_diff_max).
+    labels = np.asarray(labels_key)
+    all_labels = labels[:nongt4]
+    anchors, hinges, dmax_idx, smin_idx = [], [], [], []
+    for i in range(len(labels)):
+        if labels[i] == 0:
+            continue
+        diff = all_labels != labels[i]
+        same = ~diff
+        if not diff.any() or not same.any():
+            continue
+        di = np.where(diff)[0][np.argmax(aff4[i][diff])]
+        si = np.where(same)[0][np.argmin(aff4[i][same])]
+        anchors.append(i)
+        dmax_idx.append(di)
+        smin_idx.append(si)
+        hinges.append(max(0.0, margin + aff4[i, si] - aff4[i, di]))
+    loss_trip = (np.sum(hinges) / max(len(anchors), 1))
+    return (np.concatenate(cls_branches), cls_final,
+            np.concatenate(reg_branches), reg_final, loss_trip,
+            (anchors, dmax_idx, smin_idx))
+
+
+def test_hrnmp_train_forward_matches_reference_equations():
+    """Training graph + mining oracle (VERDICT r2 item 3): the per-video
+    NL1→NL2(branch)→NL3 chain, cross-video NL4, and the mined triplet
+    hinge must match the numpy re-derivation of hrnmp_bbox_head.py:609-795
+    and :357-414 on generic inputs."""
+    rng = np.random.default_rng(11)
+    V, S, IPV = 3, 4, 3
+    N = IPV * S                       # rows per video, key rows first
+    head = HRNMPBBoxHead(sampler_num=S, t_dim=V, imgs_per_video=IPV,
+                         fc_feat_dim=D, dim=(D, D, D), in_channels=C,
+                         num_classes=NCLS, reg_class_agnostic=True,
+                         triplet_margin=10.0)
+    feats = rng.normal(size=(V, N, 7, 7, C)).astype(np.float32)
+    # labels: every non-bg anchor sees both same- and diff-class keys
+    labels_key = np.array([1, 2, 0, 1,
+                           2, 1, 0, 2,
+                           1, 2, 2, 0], np.int32)
+    assert labels_key.shape[0] == V * S
+    params = head.init(jax.random.PRNGKey(5), jnp.asarray(feats[0]), 0, S)
+    (cls_b, cls_f), (reg_b, reg_f), loss_trip = head.apply(
+        params, jnp.asarray(feats), jnp.asarray(labels_key),
+        method=head.forward_train)
+
+    p = to_np(params["params"])
+    ref = np_hrnmp_train_oracle(p, feats.astype(np.float64), labels_key,
+                                10.0, IPV * S, S)
+    ref_cls_b, ref_cls_f, ref_reg_b, ref_reg_f, ref_trip, mined = ref
+    assert len(mined[0]) == int((labels_key > 0).sum())
+    np.testing.assert_allclose(np.asarray(cls_b), ref_cls_b, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(reg_b), ref_reg_b, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cls_f), ref_cls_f, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(reg_f), ref_reg_f, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(loss_trip), ref_trip, rtol=1e-4)
+
+
+def test_triplet_mining_masked_and_guarded():
+    """triplet_nonlocal_loss self-consistency on the padded/degenerate
+    cases the reference never sees (it has no padded rows): masked keys
+    are excluded from both mining pools, and anchors lacking a same- or
+    diff-class key drop out of the mean."""
+    from hvrnet_tpu.models.bbox_heads.hrnmp_bbox_head import (
+        triplet_nonlocal_loss)
+    rng = np.random.default_rng(3)
+    Q, K = 6, 8
+    aff = rng.normal(size=(Q, K)).astype(np.float32) * 3
+    labels = np.array([1, 2, 0, 1, 3, 2], np.int32)   # label 3: no same key
+    all_labels = np.array([1, 2, 1, 0, 2, 1, 2, 1], np.int32)
+    key_mask = np.array([1, 1, 1, 1, 0, 1, 1, 0], bool)
+
+    got = float(triplet_nonlocal_loss(
+        jnp.asarray(aff), jnp.asarray(labels), jnp.asarray(all_labels),
+        margin=10.0, key_mask=jnp.asarray(key_mask)))
+
+    hinges = []
+    for i in range(Q):
+        if labels[i] == 0:
+            continue
+        diff = (all_labels != labels[i]) & key_mask
+        same = (all_labels == labels[i]) & key_mask
+        if not diff.any() or not same.any():
+            continue                  # anchor 4 (label 3) drops out
+        d = aff[i][diff].max()
+        s = aff[i][same].min()
+        hinges.append(max(0.0, 10.0 + s - d))
+    assert len(hinges) == 4
+    np.testing.assert_allclose(got, np.mean(hinges), rtol=1e-5)
+
+
 def test_selsa_query_restriction_is_exact():
     """Block-2 computing only key-frame queries must equal computing all
     rows then slicing (the reference's order, selsa_bbox_head.py:238-254)."""
