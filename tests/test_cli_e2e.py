@@ -153,6 +153,36 @@ def test_train_cli(mini_vid, tmp_path):  # noqa: F811
     assert entries
 
 
+def test_train_cli_validate(mini_vid, tmp_path):  # noqa: F811
+    """tools/train.py --validate: the epoch loop runs the sliding-window VID
+    eval hook (reference tools/train.py:22 → DistEvalmAPHook) and logs mAP."""
+    import json
+    cfg_src = (TINY_CFG.format(root=mini_vid)
+               + "\n_val_data = data['test']\n"
+               + TRAIN_TAIL.format(root=mini_vid)
+               + "\ndata['val'] = _val_data\nevaluation = dict(interval=1)\n")
+    cfg_path = str(tmp_path / "tiny_train_val_cfg.py")
+    with open(cfg_path, "w") as f:
+        f.write(cfg_src)
+    work = str(tmp_path / "run")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys; sys.argv=['train.py', %r, '--work-dir', %r,"
+         "'--total-epochs', '1', '--max-steps-per-epoch', '2',"
+         "'--canvas', '64', '96', '--n-devices', '1', '--seed', '0',"
+         "'--validate'];"
+         "sys.path.insert(0, %r);"
+         "import runpy; runpy.run_path(%r, run_name='__main__')"
+         % (cfg_path, work, REPO, osp.join(REPO, "tools/train.py"))],
+        capture_output=True, timeout=900, cwd=REPO, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(osp.join(work, "train_log.jsonl")) as f:
+        entries = [json.loads(l) for l in f if l.strip()]
+    maps = [e["mAP"] for e in entries if "mAP" in e]
+    assert maps and all(0.0 <= m <= 1.0 for m in maps)
+
+
 def test_robustness_cli(mini_vid, tmp_path):  # noqa: F811
     """tools/test_robustness.py end to end over the fixture: one corruption
     at one severity must run the full test loop and write result pickles."""

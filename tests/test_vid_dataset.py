@@ -48,13 +48,9 @@ def write_xml(path, w, h, objs):
     ET.ElementTree(root).write(path)
 
 
-@pytest.fixture(scope="module")
-def mini_vid(tmp_path_factory):
-    """Two tiny videos (5 and 3 frames) with one moving box each."""
-    root = str(tmp_path_factory.mktemp("VID"))
-    wnids = ["n02691156", "n02958343"]  # airplane, car
-    videos = [("val/ILSVRC2015_val_00000000", 5, wnids[0]),
-              ("val/ILSVRC2015_val_00000001", 3, wnids[1])]
+def build_mini_vid(root, videos):
+    """Write a tiny on-disk VID tree: JPEGs + XMLs + val imageset for the
+    given ``[(video_path, n_frames, wnid), ...]``, one moving box each."""
     lines = []
     frame_id = 1
     rng = np.random.default_rng(0)
@@ -77,9 +73,18 @@ def mini_vid(tmp_path_factory):
     # train imageset: one key frame per video
     train_file = osp.join(root, "ImageSets", "VID_train_15frames.txt")
     with open(train_file, "w") as f:
-        f.write("val/ILSVRC2015_val_00000000 1 2 5\n"
-                "val/ILSVRC2015_val_00000001 1 1 3\n")
+        f.write("\n".join(f"{vpath} 1 {max(n // 2, 1)} {n}"
+                          for vpath, n, _ in videos) + "\n")
     return root
+
+
+@pytest.fixture(scope="module")
+def mini_vid(tmp_path_factory):
+    """Two tiny videos (5 and 3 frames) with one moving box each."""
+    root = str(tmp_path_factory.mktemp("VID"))
+    wnids = ["n02691156", "n02958343"]  # airplane, car
+    return build_mini_vid(root, [("val/ILSVRC2015_val_00000000", 5, wnids[0]),
+                                 ("val/ILSVRC2015_val_00000001", 3, wnids[1])])
 
 
 def test_test_iterator_flags_and_offsets(mini_vid):

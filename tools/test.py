@@ -58,33 +58,8 @@ def parse_args():
     return p.parse_args()
 
 
-def collect_results(tmpdir: str, world_size: int, total: int):
-    """Merge per-rank part pickles by absolute frame id (test.py:546-589)."""
-    merged = [None] * total
-    for r in range(world_size):
-        with open(os.path.join(tmpdir, f"part_{r}.pkl"), "rb") as f:
-            part = pickle.load(f)
-        for i, res in enumerate(part):
-            if res is not None:
-                merged[i] = res
-    return merged
-
-
-def wait_for_parts(paths, timeout: float = 3600.0, poll: float = 0.5):
-    """Filesystem rendezvous replacing the reference's dist.barrier
-    (test.py:568): rank 0 blocks until every rank's part file exists (they
-    are written atomically via os.replace), or raises on timeout."""
-    import time
-    deadline = time.time() + timeout
-    while True:
-        missing = [p for p in paths if not os.path.isfile(p)]
-        if not missing:
-            return
-        if time.time() > deadline:
-            raise TimeoutError(
-                f"timed out after {timeout:.0f}s waiting for rank part "
-                f"files: {missing}")
-        time.sleep(poll)
+from hvrnet_tpu.utils.dist_io import (collect_results, dump_part,  # noqa: E402
+                                      trim_to_local, wait_for_parts)
 
 
 def main():
@@ -172,11 +147,7 @@ def main():
         print(timer.summary())
 
     tmpdir = args.tmpdir or os.path.dirname(os.path.abspath(args.out)) or "."
-    os.makedirs(tmpdir, exist_ok=True)
-    part_path = os.path.join(tmpdir, f"part_{args.rank}.pkl")
-    with open(part_path + ".tmp", "wb") as f:
-        pickle.dump(results, f)
-    os.replace(part_path + ".tmp", part_path)   # atomic: never seen half-written
+    dump_part(trim_to_local(results, dataset, args.rank), tmpdir, args.rank)
     logger.info("rank %d wrote part file", args.rank)
 
     if args.rank == 0:

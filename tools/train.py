@@ -35,6 +35,10 @@ def parse_args():
                    help="static training canvas (default: config canvas_hw "
                         "or 608 1008, the (1000,600) keep-ratio bucket)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--validate", action="store_true",
+                   help="run the sliding-window VID eval after each epoch "
+                        "(reference tools/train.py:22 → DistEvalmAPHook; "
+                        "interval from cfg.evaluation.interval)")
     return p.parse_args()
 
 
@@ -65,6 +69,22 @@ def main():
                             dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
 
     canvas = tuple(args.canvas or cfg.get("canvas_hw", (608, 1008)))
+
+    eval_hook = None
+    if args.validate:
+        from hvrnet_tpu.engine.eval_hook import VidEvalHook
+        val_engine = build_detector(
+            cfg.model, None, cfg.test_cfg,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        val_data_cfg = dict(cfg.data.val)
+        val_data_cfg.update(dict(cfg.test_cfg.relation_setup))
+        val_data_cfg.pop("frame_stride", None)
+        eval_interval = (cfg.get("evaluation", {}) or {}).get("interval", 1)
+        eval_hook = VidEvalHook(
+            val_engine, val_data_cfg, interval=eval_interval,
+            work_dir=work_dir, world_size=args.num_processes or 1,
+            rank=args.process_id or 0,
+            max_short=canvas[0], max_long=canvas[1])
     train_detector(
         engine, dataset, cfg.as_dict(), mesh=mesh, work_dir=work_dir,
         total_epochs=args.total_epochs or cfg.get("total_epochs"),
@@ -72,7 +92,7 @@ def main():
         resume_from=args.resume_from or cfg.get("resume_from"),
         load_from=args.load_from or cfg.get("load_from"),
         max_steps_per_epoch=args.max_steps_per_epoch,
-        seed=args.seed or 0)
+        seed=args.seed or 0, eval_hook=eval_hook)
 
 
 if __name__ == "__main__":
