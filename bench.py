@@ -34,11 +34,17 @@ import numpy as np
 BASELINE_FPS = 4.0  # documented proxy (BASELINE.md): reference impl. per GPU
 
 
-def build_engine(model: str, window=None):
+def build_engine(model: str, window=None, stream: bool = False):
     """window: override the cache length; the head's t_dim/key_dim derive
     from it BEFORE the module is built (window ↔ t_dim are one quantity —
     mutating only engine.window would attend just the first t_dim frames of
-    the ring, a semantically wrong, cheaper graph)."""
+    the ring, a semantically wrong, cheaper graph).
+
+    stream: carry streaming-softmax accumulators in the ring (HVRNet only;
+    ops/streaming_attention.py) — each slide updates NL1/NL3 incrementally
+    in O(T·P²·D) instead of recomputing the O(T²·P²·D) window attention.
+    Equality-tested vs the exact ring path (tests/test_streaming_engine.py).
+    """
     import jax.numpy as jnp
     from hvrnet_tpu.utils.config import Config
     if model == "hvrnet":
@@ -56,6 +62,10 @@ def build_engine(model: str, window=None):
     if window:
         engine.window = int(window)
         engine.key_dim = (int(window) - 1) // 2
+    if stream:
+        if model != "hvrnet":
+            raise SystemExit("--stream is an HVRNet ring feature")
+        engine.stream = True
     return engine
 
 
@@ -145,7 +155,15 @@ def main():
                     help="measure end-to-end on an on-disk JPEG video "
                          "(host decode + pipeline + prefetch + runner) "
                          "instead of the device-path synthetic frame")
+    ap.add_argument("--stream", action="store_true", default=None,
+                    help="streaming-softmax ring (default for hvrnet with "
+                         "--window ≥ 35, where the O(T²) recompute "
+                         "dominates; --exact to force the recompute path)")
+    ap.add_argument("--exact", dest="stream", action="store_false")
     args = ap.parse_args()
+    if args.stream is None:
+        args.stream = (args.model == "hvrnet" and args.window is not None
+                       and args.window >= 35)
 
     import os
     import jax
@@ -154,7 +172,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/hvrnet_tpu_xla_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-    engine = build_engine(args.model, window=args.window)
+    engine = build_engine(args.model, window=args.window,
+                          stream=bool(args.stream))
     # parameter init runs on the host CPU backend (hundreds of tiny programs
     # are slow over the device tunnel), then transfers once.
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
@@ -194,7 +213,7 @@ def main():
     jax.block_until_ready(feats)
     state = engine.ring_reset(int(feats["fc1"].shape[-1]))
     for _ in range(T):
-        state = engine.ring_push(state, feats)
+        state = engine.ring_push(state, feats, params=params)
     state, out = engine.ring_step(params, state, feats, ish, sfd,
                                   branch=branch)
     jax.block_until_ready(out)

@@ -425,7 +425,9 @@ class _RingMixin:
                 count=jnp.minimum(state["count"] + 1, t_dim))
         return jax.jit(fn, donate_argnums=(0,))
 
-    def ring_push(self, state, feats):
+    def ring_push(self, state, feats, params=None):
+        # ``params`` is only consumed by engines with a streaming ring
+        # (HNMBRCNN.stream) whose slide updates run head projections
         return self._ring_push_fn(self.window)(state, feats)
 
     def _body_for(self, t_dim: int, key_dim: int, branch, passes):
@@ -711,6 +713,156 @@ class HNMBRCNN(_RingMixin, BaseEngine):
         fn = self._window_fn(t, self.key_dim if key_dim is None else key_dim,
                              branch, passes)
         return fn(params, fc1_stack, boxes, masks,
+                  jnp.asarray(img_shape, jnp.float32),
+                  jnp.asarray(scale_factor, jnp.float32))
+
+    # --------------------------------------------------- streaming ring path
+    #: when True the ring buffer also carries streaming-softmax accumulators
+    #: for NL1/NL3 (ops/streaming_attention.py) and each slide costs
+    #: O(T·P²·D) instead of the O(T²·P²·D) full-window recompute — the TPU
+    #: answer to the reference's per-frame 63-frame recompute
+    #: (tools/hnl_test.py:309-475).  Exact up to streaming-softmax rounding
+    #: (error bounded by the ≤T-step row lifetime; see the ops docstring).
+    stream: bool = False
+
+    def _stream_dims(self):
+        bh = self.model_cfg["bbox_head"]
+        dim = tuple(bh.get("dim", (1024, 1024, 1024)))
+        fc_feat = int(bh.get("fc_feat_dim", 1024))
+        return dim, fc_feat
+
+    def ring_reset(self, fc1_dim: int):
+        state = super().ring_reset(fc1_dim)
+        if not self.stream:
+            return state
+        T, P = self.window, self.proposal_num
+        R = T * P
+        (dim, fc_feat) = self._stream_dims()
+        bh = self.model_cfg["bbox_head"]
+        key_rows = int(bh["t_dim"]) * int(bh.get("sampler_num", P))
+        if key_rows < R:
+            raise ValueError("streaming ring requires every cached row to be "
+                             "a key (t_dim·sampler_num ≥ window·proposals; "
+                             f"got {key_rows} < {R})")
+        zeros = lambda d: jnp.zeros((T, P, d), self.dtype)
+        state.update(
+            q1=zeros(dim[0]), k1=zeros(dim[1]),
+            fc3s=zeros(fc_feat), q3=zeros(dim[0]), k3=zeros(dim[1]),
+            m1=jnp.full((R,), -jnp.inf, jnp.float32),
+            l1=jnp.zeros((R,), jnp.float32),
+            a1=jnp.zeros((R, fc1_dim), jnp.float32),
+            m3=jnp.full((R,), -jnp.inf, jnp.float32),
+            l3=jnp.zeros((R,), jnp.float32),
+            a3=jnp.zeros((R, fc_feat), jnp.float32),
+            # per-(row, slot) logit-max health tables for the exact-repair
+            # cond (ops/streaming_attention.py docstring)
+            M1=jnp.full((R, T), -jnp.inf, jnp.float32),
+            M3=jnp.full((R, T), -jnp.inf, jnp.float32))
+        return state
+
+    _STREAM_KEYS = ("fc1", "q1", "k1", "fc3s", "q3", "k3",
+                    "m1", "l1", "a1", "m3", "l3", "a3", "M1", "M3")
+
+    def _head_view(self, state):
+        hst = {k: state[k] for k in self._STREAM_KEYS}
+        hst["mask"] = state["masks"]
+        return hst
+
+    @functools.lru_cache(maxsize=2)
+    def _stream_push_fn(self, t_dim: int):
+        mod = self.module
+
+        def fn(params, state, feats):
+            pos = (state["pos"] + 1) % t_dim
+            hst = mod.apply(params, self._head_view(state),
+                            feats["fc1"].astype(state["fc1"].dtype),
+                            feats["mask"], pos,
+                            method=mod.bbox_stream_update)
+            out = dict(state)
+            out.update({k: hst[k] for k in self._STREAM_KEYS})
+            out["masks"] = hst["mask"]
+            out["boxes"] = jax.lax.dynamic_update_slice(
+                state["boxes"], feats["boxes"][None], (pos, 0, 0))
+            out["pos"] = pos
+            out["count"] = jnp.minimum(state["count"] + 1, t_dim)
+            return out
+
+        return jax.jit(fn, donate_argnums=(1,))
+
+    def ring_push(self, state, feats, params=None):
+        if not self.stream:
+            return self._ring_push_fn(self.window)(state, feats)
+        assert params is not None, "streaming ring_push needs params"
+        return self._stream_push_fn(self.window)(params, state, feats)
+
+    def _stream_decode(self, params, state, img_shape, scale_factor,
+                       t_dim: int, key_dim: int, branch):
+        mod = self.module
+        rcnn_cfg = self.test_cfg["rcnn"]
+        center = (state["pos"] + 1 + key_dim) % t_dim
+        cls_list, reg_list = mod.apply(params, self._head_view(state), center,
+                                       method=mod.bbox_stream_forward)
+        boxes_c = jax.lax.dynamic_index_in_dim(state["boxes"], center, 0,
+                                               keepdims=False)
+        mask_c = jax.lax.dynamic_index_in_dim(state["masks"], center, 0,
+                                              keepdims=False)
+        pairs = list(zip(cls_list, reg_list))
+        if branch is not None:
+            pairs = [pairs[branch]]
+        outs = [get_det_bboxes(boxes_c, cls, reg, img_shape, scale_factor,
+                               self.target_means, self.target_stds,
+                               rescale=True, cfg=rcnn_cfg, valid=mask_c)
+                for cls, reg in pairs]
+        return outs[0] if branch is not None else outs
+
+    @functools.lru_cache(maxsize=4)
+    def _stream_detect_fn(self, t_dim: int, key_dim: int, branch=None):
+        def fn(params, state, img_shape, scale_factor):
+            return self._stream_decode(params, state, img_shape, scale_factor,
+                                       t_dim, key_dim, branch)
+        return jax.jit(fn)
+
+    def ring_detect(self, params, state, img_shape, scale_factor,
+                    key_dim: Optional[int] = None, branch=None):
+        if not self.stream:
+            return super().ring_detect(params, state, img_shape, scale_factor,
+                                       key_dim, branch)
+        fn = self._stream_detect_fn(
+            self.window, self.key_dim if key_dim is None else key_dim, branch)
+        return fn(params, state, jnp.asarray(img_shape, jnp.float32),
+                  jnp.asarray(scale_factor, jnp.float32))
+
+    @functools.lru_cache(maxsize=4)
+    def _stream_step_fn(self, t_dim: int, key_dim: int, branch=None):
+        mod = self.module
+
+        def fn(params, state, feats, img_shape, scale_factor):
+            pos = (state["pos"] + 1) % t_dim
+            hst = mod.apply(params, self._head_view(state),
+                            feats["fc1"].astype(state["fc1"].dtype),
+                            feats["mask"], pos,
+                            method=mod.bbox_stream_update)
+            new = dict(state)
+            new.update({k: hst[k] for k in self._STREAM_KEYS})
+            new["masks"] = hst["mask"]
+            new["boxes"] = jax.lax.dynamic_update_slice(
+                state["boxes"], feats["boxes"][None], (pos, 0, 0))
+            new["pos"] = pos
+            new["count"] = jnp.minimum(state["count"] + 1, t_dim)
+            out = self._stream_decode(params, new, img_shape, scale_factor,
+                                      t_dim, key_dim, branch)
+            return new, out
+
+        return jax.jit(fn, donate_argnums=(1,))
+
+    def ring_step(self, params, state, feats, img_shape, scale_factor,
+                  key_dim: Optional[int] = None, branch=None):
+        if not self.stream:
+            return super().ring_step(params, state, feats, img_shape,
+                                     scale_factor, key_dim, branch)
+        fn = self._stream_step_fn(
+            self.window, self.key_dim if key_dim is None else key_dim, branch)
+        return fn(params, state, feats,
                   jnp.asarray(img_shape, jnp.float32),
                   jnp.asarray(scale_factor, jnp.float32))
 

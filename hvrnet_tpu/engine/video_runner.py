@@ -126,7 +126,8 @@ class SlidingWindowRunner:
                             m["scale_factor"], branch=self.device_branch)
                         _handle_detection(out, m)
                     return
-                ring_state = self.engine.ring_push(ring_state, feats)
+                ring_state = self.engine.ring_push(ring_state, feats,
+                                                   params=self.params)
             else:
                 cache.append(feats)
             if do_detect:

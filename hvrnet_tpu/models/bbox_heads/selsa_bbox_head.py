@@ -58,6 +58,27 @@ class SelsaAttention(nn.Module):
         if self.conv_z:
             self.linear_out = dense(self.dim[2], 0.01, self.dtype)
 
+    # ------------------------------------------------ streaming-ring pieces
+    # (the sliding-window fast path updates softmax accumulators instead of
+    # recomputing the block — ops/streaming_attention.py; these expose the
+    # block's projections individually so stationary rows can be cached)
+    @property
+    def scale(self) -> float:
+        return 1.0 / math.sqrt(float(self.dim[1]))
+
+    def q_proj(self, x):
+        return self.q_data_fc(x)
+
+    def k_proj(self, x):
+        return self.k_data_fc(x)
+
+    def v_proj(self, x):
+        return self.v_data_fc(x) if self.conv_g else x
+
+    def out_proj(self, att):
+        att = att.astype(self.dtype)
+        return self.linear_out(att) if self.conv_z else att
+
     def __call__(self, roi_feat: jnp.ndarray, nongt_feat: jnp.ndarray,
                  key_mask: Optional[jnp.ndarray] = None,
                  return_aff: bool = False):

@@ -41,6 +41,12 @@ def parse_args():
                         "multi-pass test graph (forward_test_multi_passes, "
                         "hrnmp_bbox_head.py:911-967); 0 = spliced single-pass "
                         "graph (the default, forward_test:800-909)")
+    p.add_argument("--stream", action="store_true",
+                   help="streaming-softmax ring (ops/streaming_attention.py):"
+                        " slide updates NL1/NL3 accumulators incrementally "
+                        "instead of recomputing the O(T²) window attention "
+                        "per frame; bit-equal up to streaming-softmax "
+                        "rounding (tests/test_streaming_engine.py)")
     p.add_argument("--bf16", action="store_true")
     return p.parse_args()
 
@@ -53,7 +59,7 @@ def main():
     from hvrnet_tpu.engine.stream import prefetch_stream, test_frame_stream
     from hvrnet_tpu.models.builder import build_detector
     from hvrnet_tpu.utils.config import Config
-    from tools.test import collect_results
+    from hvrnet_tpu.utils.dist_io import collect_results
 
     args = parse_args()
     cfg = Config.fromfile(args.config)
@@ -90,6 +96,11 @@ def main():
             raise SystemExit(f"--multi-pass {args.multi_pass} must divide "
                              f"the window length {window}")
         engine.multi_pass = args.multi_pass
+    if args.stream:
+        if args.multi_pass:
+            raise SystemExit("--stream caches the single-pass spliced graph; "
+                             "combine with --multi-pass is unsupported")
+        engine.stream = True
     params = load_params_for_engine(engine, args.checkpoint)
     params = engine.cast_head_params_bf16(params)   # no-op unless --bf16
 
@@ -142,15 +153,12 @@ def main():
         prefetch_stream(test_frame_stream(dataset, rank=args.rank)),
         num_frames=len(dataset))
 
+    from hvrnet_tpu.utils.dist_io import (dump_part, trim_to_local,
+                                          wait_for_parts)
     tmpdir = args.tmpdir or os.path.dirname(os.path.abspath(args.out)) or "."
-    os.makedirs(tmpdir, exist_ok=True)
-    part_path = os.path.join(tmpdir, f"part_{args.rank}.pkl")
-    with open(part_path + ".tmp", "wb") as f:
-        pickle.dump(results, f)
-    os.replace(part_path + ".tmp", part_path)
+    dump_part(trim_to_local(results, dataset, args.rank), tmpdir, args.rank)
 
     if args.rank == 0:
-        from tools.test import wait_for_parts
         parts = [os.path.join(tmpdir, f"part_{r}.pkl")
                  for r in range(args.world_size)]
         wait_for_parts(parts)
