@@ -49,20 +49,26 @@ def average_precision(recalls: np.ndarray, precisions: np.ndarray,
     num_scales = recalls.shape[0]
     ap = np.zeros(num_scales, np.float32)
     if mode == "area":
-        zeros = np.zeros((num_scales, 1), recalls.dtype)
-        ones = np.ones((num_scales, 1), recalls.dtype)
-        mrec = np.hstack((zeros, recalls, ones))
-        mpre = np.hstack((zeros, precisions, zeros))
-        for i in range(mpre.shape[1] - 1, 0, -1):
-            mpre[:, i - 1] = np.maximum(mpre[:, i - 1], mpre[:, i])
-        for i in range(num_scales):
-            ind = np.where(mrec[i, 1:] != mrec[i, :-1])[0]
-            ap[i] = np.sum((mrec[i, ind + 1] - mrec[i, ind]) * mpre[i, ind + 1])
+        # pad each PR curve to recall endpoints 0/1 (precision 0 at both),
+        # take the running max from the right so precision is monotone
+        # non-increasing, then integrate over the recall jumps — must stay
+        # numerically identical to the canonical VOC-area routine the
+        # reference evaluates with (mean_ap.py:24-35)
+        pad_lo = np.zeros((num_scales, 1), recalls.dtype)
+        pad_hi = np.ones((num_scales, 1), recalls.dtype)
+        rec = np.hstack((pad_lo, recalls, pad_hi))
+        prec = np.hstack((pad_lo, precisions, pad_lo))
+        prec = np.flip(np.maximum.accumulate(np.flip(prec, axis=1), axis=1),
+                       axis=1)
+        for s in range(num_scales):
+            jumps = np.flatnonzero(np.diff(rec[s]) != 0)
+            ap[s] = np.sum((rec[s, jumps + 1] - rec[s, jumps])
+                           * prec[s, jumps + 1])
     elif mode == "11points":
-        for i in range(num_scales):
+        for s in range(num_scales):
             for thr in np.arange(0, 1 + 1e-3, 0.1):
-                precs = precisions[i, recalls[i, :] >= thr]
-                ap[i] += precs.max() if precs.size else 0
+                precs = precisions[s, recalls[s, :] >= thr]
+                ap[s] += precs.max() if precs.size else 0
         ap /= 11
     else:
         raise ValueError('mode must be "area" or "11points"')

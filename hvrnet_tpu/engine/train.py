@@ -41,6 +41,9 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    #: LossScaleState when the config enables fp16 loss scaling, else None
+    #: (reference `mmdet/core/fp16/hooks.py:11-85` Fp16OptimizerHook)
+    scale: Any = None
 
 
 def _smooth_l1(pred, target, beta):
@@ -81,6 +84,25 @@ class BaseTrainer:
                             weight_decay=float(opt.get("weight_decay", 1e-4)),
                             clip_norm=float(clip))
         self.tx = None
+        # fp16 = dict(loss_scale=512.) config key (reference configs +
+        # Fp16OptimizerHook, `mmdet/core/fp16/hooks.py:27-36`): scale the
+        # loss, unscale the grads, and SKIP the step on non-finite grads.
+        # A numeric loss_scale stays fixed (the reference's semantics);
+        # loss_scale='dynamic' adds mmcv-style growth/backoff.  On TPU the
+        # usual mixed-precision mode is bf16 compute (same exponent range as
+        # f32 — no scaling needed, see core/precision.py); this path exists
+        # for true-fp16 parity and as an overflow safety net.
+        self.loss_scale = None
+        fp16 = cfg.get("fp16")
+        if fp16:
+            from ..core.precision import DynamicLossScale
+            ls = fp16.get("loss_scale", 512.0)
+            if ls == "dynamic":
+                self.loss_scale = DynamicLossScale()
+            else:
+                self.loss_scale = DynamicLossScale(
+                    init_scale=float(ls), growth_factor=1.0,
+                    backoff_factor=1.0, growth_interval=1 << 30)
 
     def create_state(self, params) -> TrainState:
         mask = default_trainable_mask(
@@ -91,7 +113,9 @@ class BaseTrainer:
             freeze_rpn=self.freeze_rpn)
         self.tx = make_optimizer(self.schedule, trainable_mask=mask,
                                  **self._opt_kw)
-        return TrainState(params, self.tx.init(params), jnp.zeros((), jnp.int32))
+        scale = self.loss_scale.init() if self.loss_scale else None
+        return TrainState(params, self.tx.init(params),
+                          jnp.zeros((), jnp.int32), scale)
 
     freeze_backbone = False
     freeze_rpn = False
@@ -103,29 +127,56 @@ class BaseTrainer:
         batch leaves have a leading device-batch axis sharded over 'data'.
         """
         loss_fn = self._build_loss_fn(canvas_h, canvas_w)
+        ls = self.loss_scale
 
-        def grads_one(params, sample, rng):
-            (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, sample, rng)
+        def grads_one(params, sample, rng, scale_state):
+            """Grads of the (possibly scaled) loss; aux carries the TRUE loss
+            (the reference backprops ``loss * loss_scale``, hooks.py:63-65)."""
+            def run(p):
+                loss, logs = loss_fn(p, sample, rng)
+                s = scale_state.scale if scale_state is not None else 1.0
+                return loss * s, (loss, logs)
+
+            (_, (loss, logs)), grads = jax.value_and_grad(
+                run, has_aux=True)(params)
             return loss, logs, grads
+
+        def apply_update(state, loss, logs, grads):
+            logs = dict(logs, loss=loss, lr=self.schedule(state.step))
+            if ls is None:
+                updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                    state.params)
+                params = optax.apply_updates(state.params, updates)
+                return TrainState(params, opt_state, state.step + 1), logs
+            # unscale + finite-check; on overflow skip params AND opt_state
+            # (momentum polluted by inf grads would poison later steps)
+            grads, finite, scale = ls.unscale_and_check(grads, state.scale)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            updates = ls.apply_or_skip(updates, finite)
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old),
+                opt_state, state.opt_state)
+            params = optax.apply_updates(state.params, updates)
+            logs.update(loss_scale=scale.scale,
+                        overflow=(~finite).astype(jnp.float32))
+            return TrainState(params, opt_state, state.step + 1, scale), logs
 
         if self.mesh is None or np.prod(self.mesh.devices.shape) == 1:
             def step(state, batch, rng):
                 sample = jax.tree_util.tree_map(lambda x: x[0], batch)
-                loss, logs, grads = grads_one(state.params, sample, rng)
-                updates, opt_state = self.tx.update(grads, state.opt_state,
-                                                    state.params)
-                params = optax.apply_updates(state.params, updates)
-                logs = dict(logs, loss=loss, lr=self.schedule(state.step))
-                return TrainState(params, opt_state, state.step + 1), logs
+                loss, logs, grads = grads_one(state.params, sample, rng,
+                                              state.scale)
+                return apply_update(state, loss, logs, grads)
             return jax.jit(step, donate_argnums=(0,))
 
         mesh = self.mesh
 
         def step(state, batch, rng):
-            def local(params, lbatch, lrng):
+            def local(params, scale_state, lbatch, lrng):
                 sample = jax.tree_util.tree_map(lambda x: x[0], lbatch)
-                loss, logs, grads = grads_one(params, sample, lrng[0])
+                loss, logs, grads = grads_one(params, sample, lrng[0],
+                                              scale_state)
                 grads = jax.lax.pmean(grads, "data")
                 loss = jax.lax.pmean(loss, "data")
                 logs = jax.tree_util.tree_map(
@@ -134,15 +185,11 @@ class BaseTrainer:
 
             sharded = shard_map(
                 local, mesh=mesh,
-                in_specs=(P(), P("data"), P("data")),
+                in_specs=(P(), P(), P("data"), P("data")),
                 out_specs=(P(), P(), P()),
                 check_vma=False)
-            loss, logs, grads = sharded(state.params, batch, rng)
-            updates, opt_state = self.tx.update(grads, state.opt_state,
-                                                state.params)
-            params = optax.apply_updates(state.params, updates)
-            logs = dict(logs, loss=loss, lr=self.schedule(state.step))
-            return TrainState(params, opt_state, state.step + 1), logs
+            loss, logs, grads = sharded(state.params, state.scale, batch, rng)
+            return apply_update(state, loss, logs, grads)
 
         return jax.jit(step, donate_argnums=(0,))
 

@@ -135,8 +135,8 @@ class GARetinaHead(nn.Module):
         adapt = {}
         for br in ("cls", "reg"):
             adapt[br] = (
-                Conv(2 * 9, (1, 1), use_bias=False, dtype=self.dtype,
-                     kernel_init=nn.initializers.zeros,
+                Conv(self.deformable_groups * 2 * 9, (1, 1), use_bias=False,
+                     dtype=self.dtype, kernel_init=normal_init(0.1),
                      name=f"feature_adaption_{br}_offset"),
                 self.param(f"feature_adaption_{br}_kernel", init,
                            (3, 3, self.feat_channels, self.feat_channels),
@@ -378,14 +378,27 @@ class RepPointsHead(nn.Module):
 
 @HEADS.register_module
 class GuidedAnchorHead(nn.Module):
-    """guided_anchor_head.py (621 LoC): anchor location + shape branches and
-    a feature-adaption deformable conv; the GA-RPN/GA-Retina heads build on
-    this structure."""
+    """guided_anchor_head.py: anchor location + shape branches and a
+    feature-adaption deformable conv; the GA-RPN/GA-Retina heads build on
+    this structure.
+
+    Topology follows the reference exactly (`guided_anchor_head.py:18-60,
+    172-208`): conv_loc/conv_shape are 1×1 on the input feature; the
+    FeatureAdaption offset conv is a bias-free 1×1 over the DETACHED
+    2-channel shape pred emitting `deformable_groups`·18 offsets into a 3×3
+    grouped deformable conv; conv_cls/conv_reg are 1×1 on the adapted
+    feature.  The reference's MaskedConv2d loc-filter only skips compute at
+    inference (mask=None during training, `:201-205`); dense conv +
+    downstream loc thresholding is the XLA-friendly equivalent (masked
+    positions are never consumed), so the outputs match.
+    """
     num_classes: int = 2
     in_channels: int = 256
     feat_channels: int = 256
     deformable_groups: int = 4
     dtype: Any = jnp.float32
+
+    num_anchors: int = 1   # one (guided) anchor per location (ref:153)
 
     @nn.compact
     def __call__(self, feats):
@@ -393,26 +406,27 @@ class GuidedAnchorHead(nn.Module):
         init = normal_init(0.01)
         loc_conv = Conv(1, (1, 1), dtype=self.dtype, kernel_init=init,
                         bias_init=_bias_prior(), name="conv_loc")
-        shape_conv = Conv(2, (1, 1), dtype=self.dtype, kernel_init=init,
-                          name="conv_shape")
-        offset_conv = Conv(2 * 9, (1, 1), dtype=self.dtype,
-                           kernel_init=nn.initializers.zeros,
+        shape_conv = Conv(self.num_anchors * 2, (1, 1), dtype=self.dtype,
+                          kernel_init=init, name="conv_shape")
+        offset_conv = Conv(self.deformable_groups * 2 * 9, (1, 1),
+                           use_bias=False, dtype=self.dtype,
+                           kernel_init=normal_init(0.1),
                            name="feature_adaption_offset")
         adapt_w = self.param("feature_adaption_kernel", init,
                              (3, 3, self.in_channels, self.feat_channels),
                              jnp.float32)
-        cls_conv = Conv(self.num_classes - 1, (1, 1), dtype=self.dtype,
-                        kernel_init=init, name="conv_cls")
-        reg_conv = Conv(4, (1, 1), dtype=self.dtype, kernel_init=init,
-                        name="conv_reg")
+        cls_conv = Conv(self.num_anchors * (self.num_classes - 1), (1, 1),
+                        dtype=self.dtype, kernel_init=init, name="conv_cls")
+        reg_conv = Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
+                        kernel_init=init, name="conv_reg")
         loc_outs, shape_outs, cls_outs, reg_outs = [], [], [], []
         for feat in feats:
             loc = loc_conv(feat)
             shape = shape_conv(feat)
-            off = offset_conv(jax.lax.stop_gradient(shape).repeat(9, axis=-1)
-                              [..., :18])
-            adapted = nn.relu(deform_conv2d(feat, off, adapt_w,
-                                            kernel_size=3, padding=1))
+            off = offset_conv(jax.lax.stop_gradient(shape))
+            adapted = nn.relu(deform_conv2d(
+                feat, off, adapt_w.astype(self.dtype), kernel_size=3,
+                padding=1, deformable_groups=self.deformable_groups))
             loc_outs.append(loc)
             shape_outs.append(shape)
             cls_outs.append(cls_conv(adapted))

@@ -53,24 +53,44 @@ def _bilinear_gather(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
 
 
 @partial(jax.jit, static_argnames=("kernel_size", "stride", "padding",
-                                   "dilation"))
+                                   "dilation", "deformable_groups"))
 def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, weight: jnp.ndarray,
                   bias: Optional[jnp.ndarray] = None,
                   kernel_size: int = 3, stride: int = 1, padding: int = 1,
                   dilation: int = 1,
-                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  mask: Optional[jnp.ndarray] = None,
+                  deformable_groups: int = 1) -> jnp.ndarray:
     """Deformable conv v1/v2 forward.
 
     Args:
         x: (B, H, W, C) input.
-        offset: (B, Ho, Wo, 2*K) per-position (dy, dx) pairs, K = k*k, tap
-            order row-major like the reference im2col.
+        offset: (B, Ho, Wo, G*2*K) per-position (dy, dx) pairs, K = k*k, tap
+            order row-major like the reference im2col; G = deformable_groups
+            group-major like `deform_conv_cuda_kernel.cu` (each group of
+            C/G input channels samples with its own offset field).
         weight: (kh, kw, C, Cout) HWIO kernel.
-        mask: optional (B, Ho, Wo, K) modulation (DCNv2; already sigmoided).
+        mask: optional (B, Ho, Wo, G*K) modulation (DCNv2; already sigmoided).
     """
     B, H, W, C = x.shape
     k = kernel_size
     K = k * k
+    G = deformable_groups
+    if G > 1:
+        # per-group offsets sample per-group input channels; the full-rank
+        # kernel mixes groups only in the output contraction, so the output
+        # is the sum over groups of single-group deform convs
+        assert C % G == 0 and offset.shape[-1] == G * 2 * K, (C, offset.shape)
+        cg = C // G
+        out = None
+        for g in range(G):
+            part = deform_conv2d(
+                x[..., g * cg:(g + 1) * cg],
+                offset[..., g * 2 * K:(g + 1) * 2 * K],
+                weight[:, :, g * cg:(g + 1) * cg, :], None,
+                kernel_size, stride, padding, dilation,
+                None if mask is None else mask[..., g * K:(g + 1) * K])
+            out = part if out is None else out + part
+        return out if bias is None else out + bias
     Ho = (H + 2 * padding - dilation * (k - 1) - 1) // stride + 1
     Wo = (W + 2 * padding - dilation * (k - 1) - 1) // stride + 1
 

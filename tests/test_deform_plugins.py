@@ -23,6 +23,46 @@ def test_deform_conv_zero_offset_equals_conv():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_deform_conv_groups_replicated_offsets_match_single_group():
+    """G identical offset fields ≡ one shared field (the grouped path of
+    `deform_conv_cuda_kernel.cu`: each C/G channel slice samples with its
+    own offsets; replicating collapses to the ungrouped op)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 10, 12, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 8, 5)).astype(np.float32))
+    off1 = jnp.asarray(rng.normal(size=(1, 10, 12, 18)).astype(np.float32))
+    single = deform_conv2d(x, off1, w, kernel_size=3, padding=1)
+    off4 = jnp.tile(off1, (1, 1, 1, 4))
+    grouped = deform_conv2d(x, off4, w, kernel_size=3, padding=1,
+                            deformable_groups=4)
+    np.testing.assert_allclose(np.asarray(grouped), np.asarray(single),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_deform_conv_group_offsets_act_on_own_channel_slice():
+    """A kernel that only reads group g's channels must ignore every other
+    group's offsets (and follow g's)."""
+    rng = np.random.default_rng(4)
+    G, cg = 2, 3
+    x = jnp.asarray(rng.normal(size=(1, 9, 9, G * cg)).astype(np.float32))
+    w = np.zeros((3, 3, G * cg, 4), np.float32)
+    w[:, :, cg:] = rng.normal(size=(3, 3, cg, 4))   # reads group 1 only
+    w = jnp.asarray(w)
+    off = jnp.asarray(rng.normal(size=(1, 9, 9, G * 18)).astype(np.float32))
+    base = deform_conv2d(x, off, w, kernel_size=3, padding=1,
+                         deformable_groups=G)
+    # perturbing group 0's offsets changes nothing
+    off_p0 = off.at[..., :18].add(1.7)
+    same = deform_conv2d(x, off_p0, w, kernel_size=3, padding=1,
+                         deformable_groups=G)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(base))
+    # perturbing group 1's offsets changes the output
+    off_p1 = off.at[..., 18:].add(1.7)
+    diff = deform_conv2d(x, off_p1, w, kernel_size=3, padding=1,
+                         deformable_groups=G)
+    assert np.abs(np.asarray(diff) - np.asarray(base)).max() > 1e-3
+
+
 def test_deform_conv_offset_shifts_sampling():
     # integer offset (0, +1) shifts sampling one pixel right for every tap
     rng = np.random.default_rng(1)
