@@ -39,6 +39,141 @@ def _iou_row(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(area_a + area_b - inter, 1e-10)
 
 
+def _tile_greedy_keep(adj: jnp.ndarray, cand_ok: jnp.ndarray) -> jnp.ndarray:
+    """Greedy keep decisions within one score-sorted tile, as a fixpoint.
+
+    The greedy rule — keep i iff no kept j<i overlaps it — is the unique
+    fixpoint of: a candidate whose higher-scored overlapping neighbours are
+    all dead becomes KEPT; one overlapping a kept neighbour becomes DEAD.
+    Each pass decides at least the highest-scored undecided candidate, and
+    in practice whole suppression layers resolve per pass, so the loop runs
+    ~3-6 data-dependent passes of fully-vectorized (tile × tile) mask
+    reductions instead of `tile` sequential prefix steps (the chain was the
+    latency floor of the old loop and the reason tiles beyond 64 regressed
+    — BASELINE.md round-2 tile sweep).
+    """
+    tile = adj.shape[0]
+    upper = jnp.triu(adj, k=1)      # upper[j, i]: higher-scored j overlaps i
+
+    def cond(c):
+        undecided, _ = c
+        return undecided.any()
+
+    def body(c):
+        undecided, kept = c
+        blocked = (upper & undecided[:, None]).any(axis=0)
+        newly = undecided & ~blocked & ~(upper & kept[:, None]).any(axis=0)
+        kept = kept | newly
+        dead = (upper & kept[:, None]).any(axis=0)
+        undecided = undecided & ~newly & ~dead
+        return undecided, kept
+
+    _, keep = jax.lax.while_loop(
+        cond, body, (cand_ok, jnp.zeros((tile,), bool)))
+    return keep
+
+
+def _nms_pick_loop(boxes: jnp.ndarray, live0: jnp.ndarray, iou_thr: float,
+                   quota: int, n_out: int,
+                   out_groups: Optional[jnp.ndarray],
+                   sup_groups: Optional[jnp.ndarray],
+                   tile: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared tiled greedy pick loop with per-out-group output quotas.
+
+    Each round pulls the ``tile`` highest-scoring live candidates across ALL
+    groups, resolves the greedy keep/suppress decisions within the tile
+    (suppression masked to same-``sup_groups`` pairs — grouped NMS over a
+    union of candidate sets is EXACTLY per-group greedy NMS, no cross-group
+    terms exist), scatters each kept box into its out-group's next slot, and
+    suppresses the remaining pool against this round's keeps.
+
+    Quota semantics are exact for "per-group greedy NMS truncated to the
+    first ``quota`` survivors" (the reference's ``nms(...)[:post]`` and
+    multiclass-NMS ``[:max_num]`` patterns): a survivor past its group's
+    quota can only ever suppress lower-scored same-sup-group candidates,
+    which are themselves past the quota — so dropping it from the output
+    while still letting it suppress changes nothing observable, and lets the
+    pool retire faster.  Groups whose quota is full have their remaining
+    candidates retired wholesale.
+
+    Returns:
+        out_idx: (n_out, quota) int32 indices into the input.
+        out_mask: (n_out, quota) bool.
+    """
+    n = boxes.shape[0]
+    cap = n_out * quota
+
+    def cond(carry):
+        live, out_idx, out_mask, cnt, rounds = carry
+        return ((cnt < quota).any() & (live.max() > NEG_INF / 2)
+                & (rounds < cap))
+
+    def body(carry):
+        live, out_idx, out_mask, cnt, rounds = carry
+        top_s, top_i = jax.lax.top_k(live, tile)
+        cand_ok = top_s > NEG_INF / 2
+        cb = boxes[top_i]                                   # (tile, 4)
+        lt = jnp.maximum(cb[:, None, :2], cb[None, :, :2])
+        rb = jnp.minimum(cb[:, None, 2:4], cb[None, :, 2:4])
+        wh = jnp.clip(rb - lt + 1.0, 0.0, None)
+        inter = wh[..., 0] * wh[..., 1]
+        area = (cb[:, 2] - cb[:, 0] + 1.0) * (cb[:, 3] - cb[:, 1] + 1.0)
+        iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-10)
+        adj = iou > iou_thr                                  # (tile, tile)
+        if sup_groups is not None:
+            cg = sup_groups[top_i]
+            adj = adj & (cg[:, None] == cg[None, :])
+
+        keep = _tile_greedy_keep(adj, cand_ok)
+
+        # per-out-group output slots; over-quota keeps drop from the output
+        # (but still suppress — see docstring) via a dump slot at index cap
+        if out_groups is not None:
+            qg = out_groups[top_i]                           # (tile,)
+            same_q = qg[:, None] == qg[None, :]
+            prefix = (jnp.triu(same_q, k=1) & keep[:, None]).sum(axis=0)
+            before = cnt[qg] + prefix
+            emit = keep & (before < quota)
+            pos = qg * quota + before
+            cnt = cnt.at[qg].add(emit.astype(jnp.int32))
+        else:
+            prefix = jnp.cumsum(keep.astype(jnp.int32)) - 1
+            before = cnt[0] + prefix
+            emit = keep & (before < quota)
+            pos = before
+            cnt = cnt.at[0].add(emit.sum())
+        pos_w = jnp.where(emit, jnp.clip(pos, 0, cap - 1), cap)
+        out_idx = out_idx.at[pos_w].set(top_i.astype(jnp.int32))
+        out_mask = out_mask.at[pos_w].set(True)
+
+        # retire the whole tile and suppress the pool vs this round's keeps
+        live = live.at[top_i].set(NEG_INF)
+        kb = jnp.where(keep[:, None], cb, -1e8)             # inert rows
+        lt = jnp.maximum(kb[:, None, :2], boxes[None, :, :2])
+        rb = jnp.minimum(kb[:, None, 2:4], boxes[None, :, 2:4])
+        wh = jnp.clip(rb - lt + 1.0, 0.0, None)
+        inter = wh[..., 0] * wh[..., 1]
+        karea = (kb[:, 2] - kb[:, 0] + 1.0) * (kb[:, 3] - kb[:, 1] + 1.0)
+        barea = (boxes[:, 2] - boxes[:, 0] + 1.0) * (boxes[:, 3] - boxes[:, 1] + 1.0)
+        pio = inter / jnp.maximum(karea[:, None] + barea[None, :] - inter, 1e-10)
+        psup = keep[:, None] & (pio > iou_thr)
+        if sup_groups is not None:
+            psup = psup & (sup_groups[top_i][:, None] == sup_groups[None, :])
+        live = jnp.where(psup.any(axis=0), NEG_INF, live)
+        if out_groups is not None:
+            live = jnp.where(cnt[out_groups] >= quota, NEG_INF, live)
+        return live, out_idx, out_mask, cnt, rounds + 1
+
+    out_idx = jnp.zeros((cap + 1,), jnp.int32)
+    out_mask = jnp.zeros((cap + 1,), bool)
+    _, out_idx, out_mask, _, _ = jax.lax.while_loop(
+        cond, body,
+        (live0, out_idx, out_mask, jnp.zeros((n_out,), jnp.int32),
+         jnp.int32(0)))
+    return (out_idx[:cap].reshape(n_out, quota),
+            out_mask[:cap].reshape(n_out, quota))
+
+
 def nms_static(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float,
                max_out: int, valid: Optional[jnp.ndarray] = None,
                tile: Optional[int] = None,
@@ -46,16 +181,11 @@ def nms_static(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float,
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS with a static number of outputs — exact tiled algorithm.
 
-    Instead of one (argmax → suppress) device round trip per survivor, each
-    round pulls the ``tile`` highest-scoring live candidates, resolves the
-    greedy keep/suppress decisions *within* the tile with an unrolled
-    prefix chain over the tile's pairwise IoU matrix, scatters the kept ones
-    into the output, and suppresses the remaining pool against them.  This is
-    bit-identical to sequential greedy NMS (a candidate's fate depends only
-    on higher-scored boxes, all of which are either in the current tile or
-    already processed) while cutting the sequential round count by roughly
-    the average number of tile members consumed per round.  The while_loop
-    exits as soon as the pool is empty or ``max_out`` boxes are kept.
+    Bit-identical to sequential greedy NMS truncated to its first
+    ``max_out`` survivors (exactly the reference's ``nms(...)[:nms_post]``
+    pattern, nms_kernel.cu:14-22): a candidate's fate depends only on
+    higher-scored boxes, all of which are either in the current tile or
+    already processed.  See ``_nms_pick_loop`` / ``_tile_greedy_keep``.
 
     Args:
         boxes: (N, 4) float32.
@@ -77,67 +207,52 @@ def nms_static(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float,
     n = boxes.shape[0]
     tile = min(tile if tile is not None else DEFAULT_TILE, n)
     live0 = jnp.where(valid, scores, NEG_INF) if valid is not None else scores
-    live0 = live0.astype(jnp.float32)
-    boxes = boxes.astype(jnp.float32)
+    out_idx, out_mask = _nms_pick_loop(
+        boxes.astype(jnp.float32), live0.astype(jnp.float32), iou_thr,
+        max_out, 1, None, groups, tile)
+    return out_idx[0], out_mask[0]
 
-    def cond(carry):
-        live, out_idx, out_mask, cnt, rounds = carry
-        return (cnt < max_out) & (live.max() > NEG_INF / 2) & (rounds < max_out)
 
-    def body(carry):
-        live, out_idx, out_mask, cnt, rounds = carry
-        top_s, top_i = jax.lax.top_k(live, tile)
-        cand_ok = top_s > NEG_INF / 2
-        cb = boxes[top_i]                                   # (tile, 4)
-        lt = jnp.maximum(cb[:, None, :2], cb[None, :, :2])
-        rb = jnp.minimum(cb[:, None, 2:4], cb[None, :, 2:4])
-        wh = jnp.clip(rb - lt + 1.0, 0.0, None)
-        inter = wh[..., 0] * wh[..., 1]
-        area = (cb[:, 2] - cb[:, 0] + 1.0) * (cb[:, 3] - cb[:, 1] + 1.0)
-        iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-10)
-        adj = iou > iou_thr                                  # (tile, tile)
-        if groups is not None:
-            cg = groups[top_i]
-            adj = adj & (cg[:, None] == cg[None, :])
+def nms_static_lanes(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thr: float,
+                     max_out: int, valid: Optional[jnp.ndarray] = None,
+                     tile: Optional[int] = None,
+                     sup_groups: Optional[jnp.ndarray] = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """B independent NMS problems in ONE shared pick loop.
 
-        # greedy prefix chain within the tile (unrolled: tile is small)
-        keep = jnp.zeros((tile,), bool).at[0].set(cand_ok[0])
-        for i in range(1, tile):
-            suppressed = (keep[:i] & adj[:i, i]).any()
-            keep = keep.at[i].set(cand_ok[i] & ~suppressed)
+    Args:
+        boxes: (B, N, 4); scores: (B, N); valid: optional (B, N).
+        max_out: per-lane survivor quota.
+        sup_groups: optional (B, N) finer-than-lane suppression groups
+            (e.g. per-class ids for a batched multiclass decode).
 
-        # cap at the remaining output quota; non-kept rows scatter into a
-        # dump slot (index max_out) so they can't clobber kept writes
-        pos = cnt + jnp.cumsum(keep.astype(jnp.int32)) - 1
-        keep = keep & (pos < max_out)
-        pos_w = jnp.where(keep, jnp.clip(pos, 0, max_out - 1), max_out)
-        out_idx = out_idx.at[pos_w].set(top_i.astype(jnp.int32))
-        out_mask = out_mask.at[pos_w].set(True)
-        cnt = cnt + keep.sum()
+    Returns:
+        keep_idx: (B, max_out) int32 indices into each lane's N rows.
+        keep_mask: (B, max_out) bool.
 
-        # retire the whole tile and suppress the pool vs this round's keeps
-        live = live.at[top_i].set(NEG_INF)
-        kb = jnp.where(keep[:, None], cb, -1e8)             # inert rows
-        lt = jnp.maximum(kb[:, None, :2], boxes[None, :, :2])
-        rb = jnp.minimum(kb[:, None, 2:4], boxes[None, :, 2:4])
-        wh = jnp.clip(rb - lt + 1.0, 0.0, None)
-        inter = wh[..., 0] * wh[..., 1]
-        karea = (kb[:, 2] - kb[:, 0] + 1.0) * (kb[:, 3] - kb[:, 1] + 1.0)
-        barea = (boxes[:, 2] - boxes[:, 0] + 1.0) * (boxes[:, 3] - boxes[:, 1] + 1.0)
-        pio = inter / jnp.maximum(karea[:, None] + barea[None, :] - inter, 1e-10)
-        psup = keep[:, None] & (pio > iou_thr)
-        if groups is not None:
-            psup = psup & (groups[top_i][:, None] == groups[None, :])
-        sup = psup.any(axis=0)
-        live = jnp.where(sup, NEG_INF, live)
-        return live, out_idx, out_mask, cnt, rounds + 1
-
-    out_idx = jnp.zeros((max_out + 1,), jnp.int32)
-    out_mask = jnp.zeros((max_out + 1,), bool)
-    _, out_idx, out_mask, _, _ = jax.lax.while_loop(
-        cond, body,
-        (live0, out_idx, out_mask, jnp.int32(0), jnp.int32(0)))
-    return out_idx[:max_out], out_mask[:max_out]
+    Exact per lane (lanes never interact).  vmapping ``nms_static`` instead
+    lowers the while_loop to lockstep gathers (the vmap pathology measured
+    in BASELINE.md); unrolled per-lane loops run sequentially on the single
+    TPU instruction stream.  One loop over the union retires ``tile``
+    candidates per round regardless of which lanes they come from.
+    """
+    B, n = scores.shape
+    tile = min(tile if tile is not None else DEFAULT_TILE * B, B * n)
+    live0 = jnp.where(valid, scores, NEG_INF) if valid is not None else scores
+    lanes = jnp.repeat(jnp.arange(B, dtype=jnp.int32), n)
+    if sup_groups is not None:
+        # offset per-lane group ids into disjoint ranges
+        span = jnp.int32(2) ** 20
+        sg = sup_groups.reshape(-1).astype(jnp.int32) + lanes * span
+    else:
+        sg = lanes
+    out_idx, out_mask = _nms_pick_loop(
+        boxes.reshape(-1, 4).astype(jnp.float32),
+        live0.reshape(-1).astype(jnp.float32), iou_thr,
+        max_out, B, lanes, sg, tile)
+    local = jnp.clip(out_idx - jnp.arange(B, dtype=jnp.int32)[:, None] * n,
+                     0, n - 1)   # unwritten slots hold 0 and are mask-False
+    return local, out_mask
 
 
 def nms(dets: jnp.ndarray, iou_thr: float, max_out: Optional[int] = None,

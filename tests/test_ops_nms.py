@@ -141,3 +141,61 @@ def test_grouped_union_equals_per_class_vmap():
                if m]
         want = [(round(s, 6), c) for s, c, _ in flat]
         assert got == want, (seed, got, want)
+
+
+def test_nms_static_lanes_equals_independent_lanes():
+    """One shared pick loop over B lanes must reproduce per-lane nms_static
+    (which is itself oracle-exact) — both the survivors and their order."""
+    from hvrnet_tpu.ops.nms import nms_static_lanes
+
+    rng = np.random.default_rng(7)
+    B, n, quota = 4, 150, 40
+    boxes = np.stack([rand_dets(rng, n)[0] for _ in range(B)])
+    scores = rng.uniform(0, 1, (B, n)).astype(np.float32)
+    valid = rng.uniform(size=(B, n)) > 0.2
+    li, lm = nms_static_lanes(jnp.asarray(boxes), jnp.asarray(scores), 0.6,
+                              quota, valid=jnp.asarray(valid))
+    for b in range(B):
+        si, sm = nms_static(jnp.asarray(boxes[b]), jnp.asarray(scores[b]),
+                            0.6, quota, valid=jnp.asarray(valid[b]))
+        np.testing.assert_array_equal(np.asarray(lm[b]), np.asarray(sm))
+        np.testing.assert_array_equal(np.asarray(li[b])[np.asarray(lm[b])],
+                                      np.asarray(si)[np.asarray(sm)])
+
+
+def test_nms_static_lanes_with_class_groups_equals_grouped_per_lane():
+    """Lanes + per-class suppression groups ≡ per-lane grouped nms_static
+    (the batched multiclass-decode shape)."""
+    from hvrnet_tpu.ops.nms import nms_static_lanes
+
+    rng = np.random.default_rng(8)
+    B, n, quota, ncls = 3, 120, 25, 5
+    boxes = np.stack([rand_dets(rng, n)[0] for _ in range(B)])
+    scores = rng.uniform(0, 1, (B, n)).astype(np.float32)
+    cls = rng.integers(0, ncls, (B, n)).astype(np.int32)
+    li, lm = nms_static_lanes(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                              quota, sup_groups=jnp.asarray(cls))
+    for b in range(B):
+        si, sm = nms_static(jnp.asarray(boxes[b]), jnp.asarray(scores[b]),
+                            0.5, quota, groups=jnp.asarray(cls[b]))
+        np.testing.assert_array_equal(np.asarray(lm[b]), np.asarray(sm))
+        np.testing.assert_array_equal(np.asarray(li[b])[np.asarray(lm[b])],
+                                      np.asarray(si)[np.asarray(sm)])
+
+
+def test_nms_quota_truncation_per_lane():
+    """Per-lane quotas truncate exactly like per-lane greedy NMS[:quota]
+    even when one lane's survivors dominate the global score order."""
+    from hvrnet_tpu.ops.nms import nms_static_lanes
+
+    rng = np.random.default_rng(9)
+    B, n, quota = 2, 200, 10
+    boxes = np.stack([rand_dets(rng, n)[0] for _ in range(B)])
+    scores = np.stack([rng.uniform(0.5, 1.0, n),      # lane 0 dominates
+                       rng.uniform(0.0, 0.5, n)]).astype(np.float32)
+    li, lm = nms_static_lanes(jnp.asarray(boxes), jnp.asarray(scores), 0.6,
+                              quota)
+    for b in range(B):
+        ref = greedy_nms_np(boxes[b], scores[b], 0.6)[:quota]
+        got = np.asarray(li[b])[np.asarray(lm[b])]
+        np.testing.assert_array_equal(got, ref)
