@@ -33,14 +33,19 @@ from ..models.bbox_heads.bbox_head import get_det_bboxes
 from ..models.builder import build_model_module, build_roi_extractor
 from ..models.registry import DETECTORS
 from ..ops.boxes import delta2bbox
-from ..ops.nms import nms_static
+from ..ops.nms import nms_static, nms_static_lanes
 from ..utils.config import unwrap
 from .canvas import get_canvas
 
 
-def _rpn_proposals(cls_map, reg_map, canvas, pad_shape, img_shape, rpn_cfg,
-                   target_means=(0., 0., 0., 0.), target_stds=(1., 1., 1., 1.)):
-    """Proposal generation on a static canvas with dynamic anchor validity."""
+def _rpn_candidates(cls_map, reg_map, canvas, pad_shape, img_shape, rpn_cfg,
+                    target_means=(0., 0., 0., 0.),
+                    target_stds=(1., 1., 1., 1.)):
+    """Pre-NMS proposal candidates: top-nms_pre decoded boxes + validity.
+
+    Pure map/top_k work (no pick loop), so it vmaps cleanly over frame
+    lanes; the NMS stage is split off so batched callers can run all lanes
+    through one shared pick loop (``nms_static_lanes``)."""
     scores, deltas = rpn_flat_scores_deltas(cls_map, reg_map)
     avalid = canvas.anchor_valid(pad_shape)
     masked_scores = jnp.where(avalid, scores, -1.0)
@@ -57,6 +62,15 @@ def _rpn_proposals(cls_map, reg_map, canvas, pad_shape, img_shape, rpn_cfg,
         w = proposals[:, 2] - proposals[:, 0] + 1
         h = proposals[:, 3] - proposals[:, 1] + 1
         valid = valid & (w >= min_size) & (h >= min_size)
+    return proposals, top_scores, valid
+
+
+def _rpn_proposals(cls_map, reg_map, canvas, pad_shape, img_shape, rpn_cfg,
+                   target_means=(0., 0., 0., 0.), target_stds=(1., 1., 1., 1.)):
+    """Proposal generation on a static canvas with dynamic anchor validity."""
+    proposals, top_scores, valid = _rpn_candidates(
+        cls_map, reg_map, canvas, pad_shape, img_shape, rpn_cfg,
+        target_means, target_stds)
     nms_post = int(rpn_cfg["nms_post"])
     keep_idx, keep_mask = nms_static(proposals, top_scores,
                                      float(rpn_cfg["nms_thr"]), nms_post,
@@ -349,30 +363,47 @@ class BaseEngine:
     @functools.lru_cache(maxsize=8)
     def _frame_post_batched_fn(self, canvas_h: int, canvas_w: int):
         """Post-backbone stage over a frame batch (one frame per video
-        stream), UNROLLED over lanes inside one jit.  vmapping this stage is
-        catastrophic on TPU — the NMS while_loop's vmapped top_k/suppression
-        lowers to lockstep gathers that measured 264.7 ms vs 11.5 ms unrolled
-        at B=4 (v5e, BASELINE.md); independent per-lane sections let XLA
-        schedule them back to back with no batching rule in the way."""
+        stream).  The candidate generation (top_k + delta decode — no pick
+        loop) vmaps over lanes, then ALL lanes share ONE ``nms_static_lanes``
+        pick loop: vmapping the NMS while_loop is catastrophic on TPU
+        (lockstep gathers, 264.7 ms vs 11.5 ms at B=4 — BASELINE.md) and
+        the round-2 unrolled-lane variant still ran B sequential pick loops
+        back to back (the ~2.8 ms latency-bound proposals stage, per lane).
+        The shared loop retires candidates from every lane each round, so
+        the sequential round count stays at roughly a single frame's."""
         canvas = self._canvas(canvas_h, canvas_w)
         rpn_cfg = self.test_cfg["rpn"]
         mod = self.module
+        nms_post = int(rpn_cfg["nms_post"])
 
-        def single(params, c5_hwc, cls_hw, reg_hw, img_shape, pad_shape):
-            boxes, scores, mask = _rpn_proposals(
-                cls_hw, reg_hw, canvas, pad_shape, img_shape, rpn_cfg,
-                self.rpn_means, self.rpn_stds)
-            rois = jnp.concatenate(
-                [jnp.zeros((boxes.shape[0], 1), boxes.dtype), boxes], axis=1)
-            pooled = self.roi_extractor([c5_hwc[None]], rois)
-            fc1 = mod.apply(params, pooled, method=mod.bbox_precompute_fc1)
-            return dict(fc1=fc1, boxes=boxes, scores=scores, mask=mask)
+        def cand(params, cls_hw, reg_hw, img_shape, pad_shape):
+            return _rpn_candidates(cls_hw, reg_hw, canvas, pad_shape,
+                                   img_shape, rpn_cfg, self.rpn_means,
+                                   self.rpn_stds)
 
         def batched(params, c5, cls_map, reg_map, img_shapes, pad_shapes):
-            outs = [single(params, c5[b], cls_map[b], reg_map[b],
-                           img_shapes[b], pad_shapes[b])
-                    for b in range(c5.shape[0])]
-            return {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}
+            B = c5.shape[0]
+            props, scores, valid = jax.vmap(
+                cand, in_axes=(None, 0, 0, 0, 0))(
+                    params, cls_map, reg_map, img_shapes, pad_shapes)
+            keep_idx, keep_mask = nms_static_lanes(
+                props, scores, float(rpn_cfg["nms_thr"]), nms_post,
+                valid=valid)
+            boxes = jnp.take_along_axis(
+                props, keep_idx[..., None], axis=1) * keep_mask[..., None]
+            out_scores = jnp.where(
+                keep_mask, jnp.take_along_axis(scores, keep_idx, axis=1), 0.0)
+            # RoI pooling + fc1 stay unrolled per lane (batched matmul work;
+            # the separable-matmul RoIAlign fast path wants B==1 inputs)
+            fc1s = []
+            for b in range(B):
+                rois = jnp.concatenate(
+                    [jnp.zeros((nms_post, 1), boxes.dtype), boxes[b]], axis=1)
+                pooled = self.roi_extractor([c5[b][None]], rois)
+                fc1s.append(mod.apply(params, pooled,
+                                      method=mod.bbox_precompute_fc1))
+            return dict(fc1=jnp.stack(fc1s), boxes=boxes, scores=out_scores,
+                        mask=keep_mask)
 
         return jax.jit(batched)
 
@@ -430,12 +461,14 @@ class _RingMixin:
         # (HNMBRCNN.stream) whose slide updates run head projections
         return self._ring_push_fn(self.window)(state, feats)
 
-    def _body_for(self, t_dim: int, key_dim: int, branch, passes):
+    def _body_for(self, t_dim: int, key_dim: int, branch, passes,
+                  decode=True):
         """Window body honoring an engine's multi-pass mode (HNMB only;
         engines without the option ignore a falsy ``passes``)."""
         if passes:
-            return self._window_body(t_dim, key_dim, branch, passes)
-        return self._window_body(t_dim, key_dim, branch)
+            return self._window_body(t_dim, key_dim, branch, passes,
+                                     decode=decode)
+        return self._window_body(t_dim, key_dim, branch, decode=decode)
 
     @functools.lru_cache(maxsize=4)
     def _ring_detect_fn(self, t_dim: int, key_dim: int, branch=None,
@@ -545,7 +578,16 @@ class _RingMixin:
     @functools.lru_cache(maxsize=4)
     def _ring_detect_batched_fn(self, t_dim: int, key_dim: int,
                                 branch=None, passes=None):
-        body = self._body_for(t_dim, key_dim, branch, passes)
+        """Batched window detect: the head forwards vmap over lanes (pure
+        matmul work with clean batching rules), then every lane's multiclass
+        decode shares ONE grouped pick loop (``multiclass_nms_static_lanes``)
+        — vmapping the NMS while_loop is the measured 20×+ lockstep-gather
+        pathology (BASELINE.md)."""
+        from ..ops.nms import multiclass_nms_static_lanes
+        body = self._body_for(t_dim, key_dim, branch, passes, decode=False)
+        rcnn_cfg = self.test_cfg["rcnn"]
+        single = (branch is not None or bool(passes)
+                  or not getattr(self, "multi_branch", False))
 
         def one(params, state, img_shape, scale_factor):
             shift = -(state["pos"] + 1)
@@ -554,7 +596,17 @@ class _RingMixin:
             masks = jnp.roll(state["masks"], shift, axis=0)
             return body(params, fc1, boxes, masks, img_shape, scale_factor)
 
-        return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0)))
+        def batched(params, state, img_shapes, scale_factors):
+            pairs, valid = jax.vmap(one, in_axes=(None, 0, 0, 0))(
+                params, state, img_shapes, scale_factors)
+            outs = [multiclass_nms_static_lanes(
+                        bb, sc, float(rcnn_cfg["score_thr"]),
+                        float(rcnn_cfg["nms"]["iou_thr"]),
+                        int(rcnn_cfg["max_per_img"]), valid=valid)
+                    for bb, sc in pairs]
+            return outs[0] if single else outs
+
+        return jax.jit(batched)
 
     def ring_detect_batched(self, params, state, img_shapes, scale_factors,
                             key_dim: Optional[int] = None, branch=None):
@@ -588,7 +640,8 @@ class SelsaRCNN(_RingMixin, BaseEngine):
 
         return fn
 
-    def _window_body(self, t_dim: int, key_dim: int, branch=None):
+    def _window_body(self, t_dim: int, key_dim: int, branch=None,
+                     decode=True):
         mod = self.module
         rcnn_cfg = self.test_cfg["rcnn"]
         P = self.proposal_num
@@ -598,6 +651,11 @@ class SelsaRCNN(_RingMixin, BaseEngine):
             valid = masks.reshape(t_dim * P)
             cls, reg = mod.apply(params, fc1, key_dim * P, P, valid,
                                  method=mod.bbox_forward_fc1)
+            if not decode:
+                bb, sc = get_det_bboxes(boxes[key_dim], cls, reg, img_shape,
+                                        scale_factor, self.target_means,
+                                        self.target_stds, rescale=True)
+                return [(bb, sc)], masks[key_dim]
             return get_det_bboxes(boxes[key_dim], cls, reg, img_shape,
                                   scale_factor, self.target_means,
                                   self.target_stds, rescale=True, cfg=rcnn_cfg,
@@ -665,7 +723,7 @@ class HNMBRCNN(_RingMixin, BaseEngine):
     multi_pass: Optional[int] = None
 
     def _window_body(self, t_dim: int, key_dim: int, branch=None,
-                     passes: Optional[int] = None):
+                     passes: Optional[int] = None, decode=True):
         """branch=None decodes every head branch (the reference decodes
         branch AND final, hrnmp_bbox_head.py:1020-1052); an int decodes only
         that branch on device — the runner stores a single branch, so the
@@ -688,6 +746,11 @@ class HNMBRCNN(_RingMixin, BaseEngine):
             pairs = list(zip(cls_list, reg_list))
             if branch is not None and not passes:
                 pairs = [pairs[branch]]
+            if not decode:
+                return [get_det_bboxes(boxes[key_dim], cls, reg, img_shape,
+                                       scale_factor, self.target_means,
+                                       self.target_stds, rescale=True)
+                        for cls, reg in pairs], masks[key_dim]
             outs = []
             for cls, reg in pairs:
                 outs.append(get_det_bboxes(

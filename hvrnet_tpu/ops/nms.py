@@ -323,20 +323,6 @@ def multiclass_nms_static(multi_bboxes: jnp.ndarray, multi_scores: jnp.ndarray,
         labels: (max_num,) int32, 0-based foreground labels.
         mask: (max_num,) bool validity.
     """
-    n, num_classes = multi_scores.shape
-    fg = num_classes - 1
-
-    if multi_bboxes.shape[-1] == 4:
-        cls_boxes = jnp.broadcast_to(multi_bboxes[None], (fg, n, 4))
-    else:
-        cls_boxes = multi_bboxes.reshape(n, num_classes, 4)[:, 1:, :].transpose(1, 0, 2)
-    cls_scores = multi_scores[:, 1:].T  # (fg, N)
-    if score_factors is not None:
-        cls_scores = cls_scores * score_factors[None, :]
-    cls_valid = cls_scores > score_thr
-    if valid is not None:
-        cls_valid = cls_valid & valid[None, :]
-
     # ONE grouped pick loop over the union of all classes' candidates:
     # suppression is masked to same-class pairs, which is exactly per-class
     # greedy NMS (classes never interact), and the result is already in
@@ -345,10 +331,8 @@ def multiclass_nms_static(multi_bboxes: jnp.ndarray, multi_scores: jnp.ndarray,
     # vmap of nms_static lowers the while_loop to lockstep gathers (the
     # vmap pathology measured in BASELINE.md) — one shared loop runs the
     # same number of rounds as a SINGLE class.
-    flat_boxes = cls_boxes.reshape(-1, 4)
-    flat_scores = cls_scores.reshape(-1)
-    flat_valid = cls_valid.reshape(-1)
-    flat_groups = jnp.repeat(jnp.arange(fg, dtype=jnp.int32), n)
+    flat_boxes, flat_scores, flat_valid, flat_groups = _multiclass_candidates(
+        multi_bboxes, multi_scores, score_thr, valid, score_factors)
 
     keep_idx, out_mask = nms_static(flat_boxes, flat_scores, iou_thr, max_num,
                                     flat_valid, groups=flat_groups)
@@ -356,4 +340,79 @@ def multiclass_nms_static(multi_bboxes: jnp.ndarray, multi_scores: jnp.ndarray,
     out_scores = jnp.where(out_mask, flat_scores[keep_idx], 0.0)
     out_labels = jnp.where(out_mask, flat_groups[keep_idx], 0)
     dets = jnp.concatenate([out_boxes, out_scores[:, None]], axis=1)
+    return dets, out_labels, out_mask
+
+
+def _multiclass_candidates(multi_bboxes, multi_scores, score_thr,
+                           valid, score_factors):
+    """Flatten (…, N, C) class scores into per-class candidate rows.
+
+    Shared by the single-image and lanes variants; leading batch dims (if
+    any) are preserved: returns (…, fg·N, 4) boxes, (…, fg·N) scores/valid
+    and the (fg·N,) class-id row layout."""
+    n, num_classes = multi_scores.shape[-2], multi_scores.shape[-1]
+    fg = num_classes - 1
+    lead = multi_scores.shape[:-2]
+    if multi_bboxes.shape[-1] == 4:
+        cls_boxes = jnp.broadcast_to(multi_bboxes[..., None, :, :],
+                                     lead + (fg, n, 4))
+    else:
+        cls_boxes = jnp.moveaxis(
+            multi_bboxes.reshape(lead + (n, num_classes, 4))[..., 1:, :],
+            -2, -3)
+    cls_scores = jnp.moveaxis(multi_scores[..., 1:], -1, -2)  # (…, fg, N)
+    if score_factors is not None:
+        cls_scores = cls_scores * score_factors[..., None, :]
+    cls_valid = cls_scores > score_thr
+    if valid is not None:
+        cls_valid = cls_valid & valid[..., None, :]
+    labels = jnp.repeat(jnp.arange(fg, dtype=jnp.int32), n)
+    return (cls_boxes.reshape(lead + (fg * n, 4)),
+            cls_scores.reshape(lead + (fg * n,)),
+            cls_valid.reshape(lead + (fg * n,)),
+            labels)
+
+
+def multiclass_nms_static_lanes(multi_bboxes: jnp.ndarray,
+                                multi_scores: jnp.ndarray,
+                                score_thr: float, iou_thr: float,
+                                max_num: int,
+                                valid: Optional[jnp.ndarray] = None,
+                                score_factors: Optional[jnp.ndarray] = None,
+                                tile: Optional[int] = None
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                           jnp.ndarray]:
+    """B independent multiclass-NMS decodes in ONE shared pick loop.
+
+    The batched-stream analogue of ``multiclass_nms_static``: vmapping that
+    function lowers its while_loop to lockstep gathers (the measured 20×+
+    vmap pathology — BASELINE.md), and unrolling B copies runs B sequential
+    pick loops back to back.  One ``nms_static_lanes`` call over the union
+    retires ``tile`` candidates per round across ALL lanes, so the
+    sequential round count stays at a single image's while every round's
+    vector work feeds the whole batch.  Exact per lane.
+
+    Args:
+        multi_bboxes: (B, N, 4) or (B, N, C*4).
+        multi_scores: (B, N, C); column 0 is background and is skipped.
+        valid: optional (B, N) mask for padded proposal rows.
+        score_factors: optional (B, N) per-row score multipliers.
+
+    Returns:
+        dets: (B, max_num, 5) zero-padded; labels: (B, max_num) int32;
+        mask: (B, max_num) bool.
+    """
+    flat_boxes, flat_scores, flat_valid, labels = _multiclass_candidates(
+        multi_bboxes, multi_scores, score_thr, valid, score_factors)
+    B = flat_scores.shape[0]
+    cls_groups = jnp.broadcast_to(labels[None], (B,) + labels.shape)
+    keep_idx, out_mask = nms_static_lanes(
+        flat_boxes, flat_scores, iou_thr, max_num,
+        valid=flat_valid, sup_groups=cls_groups, tile=tile)
+    out_boxes = jnp.take_along_axis(
+        flat_boxes, keep_idx[..., None], axis=1) * out_mask[..., None]
+    out_scores = jnp.where(
+        out_mask, jnp.take_along_axis(flat_scores, keep_idx, axis=1), 0.0)
+    out_labels = jnp.where(out_mask, labels[keep_idx], 0)
+    dets = jnp.concatenate([out_boxes, out_scores[..., None]], axis=-1)
     return dets, out_labels, out_mask

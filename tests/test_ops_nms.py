@@ -199,3 +199,48 @@ def test_nms_quota_truncation_per_lane():
         ref = greedy_nms_np(boxes[b], scores[b], 0.6)[:quota]
         got = np.asarray(li[b])[np.asarray(lm[b])]
         np.testing.assert_array_equal(got, ref)
+
+
+def test_multiclass_nms_lanes_equals_per_lane():
+    """One shared multiclass decode over B lanes must reproduce per-lane
+    multiclass_nms_static exactly (dets, labels, and order)."""
+    from hvrnet_tpu.ops.nms import multiclass_nms_static_lanes
+
+    rng = np.random.default_rng(11)
+    B, n, ncls, max_num = 3, 80, 6, 30
+    boxes = np.stack([rand_dets(rng, n)[0] for _ in range(B)])
+    scores = rng.dirichlet(np.ones(ncls), (B, n)).astype(np.float32)
+    valid = rng.uniform(size=(B, n)) > 0.15
+    ld, ll, lm = multiclass_nms_static_lanes(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.02, 0.5, max_num,
+        valid=jnp.asarray(valid))
+    for b in range(B):
+        sd, sl, sm = multiclass_nms_static(
+            jnp.asarray(boxes[b]), jnp.asarray(scores[b]), 0.02, 0.5,
+            max_num, valid=jnp.asarray(valid[b]))
+        np.testing.assert_array_equal(np.asarray(lm[b]), np.asarray(sm))
+        np.testing.assert_allclose(np.asarray(ld[b]), np.asarray(sd),
+                                   rtol=0, atol=0)
+        np.testing.assert_array_equal(np.asarray(ll[b]), np.asarray(sl))
+
+
+def test_multiclass_nms_lanes_class_specific_boxes():
+    """(N, C*4) per-class regression boxes through the lanes decode."""
+    from hvrnet_tpu.ops.nms import multiclass_nms_static_lanes
+
+    rng = np.random.default_rng(12)
+    B, n, ncls, max_num = 2, 60, 4, 20
+    boxes = np.stack(
+        [np.concatenate([rand_dets(rng, n)[0] for _ in range(ncls)], axis=1)
+         for _ in range(B)])
+    scores = rng.dirichlet(np.ones(ncls), (B, n)).astype(np.float32)
+    ld, ll, lm = multiclass_nms_static_lanes(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.05, 0.6, max_num)
+    for b in range(B):
+        sd, sl, sm = multiclass_nms_static(
+            jnp.asarray(boxes[b]), jnp.asarray(scores[b]), 0.05, 0.6,
+            max_num)
+        np.testing.assert_array_equal(np.asarray(lm[b]), np.asarray(sm))
+        np.testing.assert_allclose(np.asarray(ld[b]), np.asarray(sd),
+                                   rtol=0, atol=0)
+        np.testing.assert_array_equal(np.asarray(ll[b]), np.asarray(sl))
