@@ -1,0 +1,107 @@
+"""Phase probe: isolated device time of each steady-state program.
+
+The whole-frame cost decomposes into three programs (BASELINE.md §MFU):
+
+* A: backbone C4 + dilated C5 + RPN maps (`engine._frame_backbone_fn`)
+* B: proposals NMS + RoIAlign + fc1 (`engine._frame_post_fn` minus A)
+* C: fused ring push + relation head + decode (`engine.ring_step`)
+
+Each phase is measured by dispatching N iterations with the output fed
+nowhere (independent calls XLA can queue back-to-back) and blocking once —
+the tunnel-robust methodology (CLAUDE.md measurement rules).  Phase B is
+reported as (A+B) − A since the post program consumes A's outputs.
+
+Usage: python tools/probe_phases.py [--model hvrnet] [--iters 100]
+"""
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def timed(fn, n, *args):
+    out = fn(*args)           # warm/compile
+    import jax
+    jax.block_until_ready(out)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / n * 1e3)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=["hvrnet", "selsa"], default="hvrnet")
+    ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--window", type=int, default=None)
+    ap.add_argument("--stream", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from bench import build_engine
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hvrnet_tpu_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    engine = build_engine(args.model, window=args.window, stream=args.stream)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        params = engine.init_params(jax.random.PRNGKey(0))
+    params = engine.cast_head_params_bf16(params)
+    params = jax.device_put(params, jax.devices()[0])
+
+    H, W = 608, 1008
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(1, H, W, 3)).astype(np.float32))
+    ish = np.array([600.0, 1000.0], np.float32)
+    psh = np.array([608.0, 1008.0], np.float32)
+    sf = jnp.asarray(np.array([1.67] * 4, np.float32))
+    ishd = jnp.asarray(ish)
+    branch = -1 if getattr(engine, "multi_branch", False) else None
+    n = args.iters
+
+    backbone = engine._frame_backbone_fn(H, W)
+    t_a = timed(backbone, n, params, img)
+    print(f"A backbone+RPN maps: {t_a:.2f} ms", flush=True)
+
+    t_ab = timed(lambda p, im: engine.frame_features(p, im, ish, psh),
+                 n, params, img)
+    print(f"A+B frame_features:  {t_ab:.2f} ms  (B ≈ {t_ab - t_a:.2f})",
+          flush=True)
+
+    feats = engine.frame_features(params, img, ish, psh)
+    state = engine.ring_reset(int(feats["fc1"].shape[-1]))
+    for _ in range(engine.window):
+        state = engine.ring_push(state, feats, params=params)
+
+    def ring(p, st, f):
+        st, out = engine.ring_step(p, st, f, ishd, sf, branch=branch)
+        return st, out
+
+    # ring_step threads state; feed it through so slides are real
+    st, out = ring(params, state, feats)
+    jax.block_until_ready(out)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            st, out = ring(params, st, feats)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / n * 1e3)
+    print(f"C ring_step:         {best:.2f} ms", flush=True)
+    total = t_ab + best
+    print(f"whole frame (A+B+C): {total:.2f} ms  ({1e3 / total:.1f} fps)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
