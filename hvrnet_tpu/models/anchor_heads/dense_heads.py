@@ -157,11 +157,13 @@ class GARetinaHead(nn.Module):
             shape = conv_shape(r)
             sd = jax.lax.stop_gradient(shape)
             oc, kc = adapt["cls"]
-            c = nn.relu(deform_conv2d(c, oc(sd), kc.astype(self.dtype),
-                                      kernel_size=3, padding=1))
+            c = nn.relu(deform_conv2d(
+                c, oc(sd), kc.astype(self.dtype), kernel_size=3, padding=1,
+                deformable_groups=self.deformable_groups))
             orr, kr = adapt["reg"]
-            r = nn.relu(deform_conv2d(r, orr(sd), kr.astype(self.dtype),
-                                      kernel_size=3, padding=1))
+            r = nn.relu(deform_conv2d(
+                r, orr(sd), kr.astype(self.dtype), kernel_size=3, padding=1,
+                deformable_groups=self.deformable_groups))
             outs[0].append(retina_cls(c))
             outs[1].append(retina_reg(r))
             outs[2].append(shape)
