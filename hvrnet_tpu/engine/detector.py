@@ -38,6 +38,29 @@ from ..utils.config import unwrap
 from .canvas import get_canvas
 
 
+@functools.lru_cache(maxsize=512)
+def _dev_const_cached(vals: Tuple[float, ...], shape: Tuple[int, ...],
+                      backend: str):
+    return jnp.asarray(np.array(vals, np.float32).reshape(shape))
+
+
+def _dev_f32(x):
+    """Device-resident f32 constant, cached by value.
+
+    Frame metadata (img_shape / pad_shape / scale_factor) is constant within
+    a video but was converted with ``jnp.asarray`` on EVERY jitted call —
+    two to three tiny host→device puts per frame, measured at ~1.6 ms/frame
+    on the v5e tunnel (BASELINE.md round-3).  Values repeat, so a value-keyed
+    cache makes the transfer once.  jax Arrays pass through untouched; the
+    backend is part of the key so CPU-mesh tests and the TPU path never share
+    entries."""
+    if isinstance(x, jax.Array):
+        return x
+    a = np.asarray(x, np.float32)
+    return _dev_const_cached(tuple(a.reshape(-1).tolist()), a.shape,
+                             jax.default_backend())
+
+
 def _rpn_candidates(cls_map, reg_map, canvas, pad_shape, img_shape, rpn_cfg,
                     target_means=(0., 0., 0., 0.),
                     target_stds=(1., 1., 1., 1.)):
@@ -218,7 +241,7 @@ class BaseEngine:
                 h, w,
                 tuple(float(v) for v in self.img_norm["mean"]),
                 tuple(float(v) for v in self.img_norm["std"]))
-            return fn(params, img, jnp.asarray(img_shape, jnp.float32))
+            return fn(params, img, _dev_f32(img_shape))
         return self._frame_backbone_fn(h, w)(params, img)
 
     @functools.lru_cache(maxsize=8)
@@ -246,8 +269,8 @@ class BaseEngine:
         c5, cls_map, reg_map = self._backbone_dispatch(params, img, img_shape)
         return self._frame_post_fn(h, w)(
             params, c5, cls_map, reg_map,
-            jnp.asarray(img_shape, jnp.float32),
-            jnp.asarray(pad_shape, jnp.float32))
+            _dev_f32(img_shape),
+            _dev_f32(pad_shape))
 
     # ---------------------------------------------------- aug frame program
     @functools.lru_cache(maxsize=4)
@@ -302,9 +325,9 @@ class BaseEngine:
         c5, cls_map, reg_map = self._frame_backbone_fn(h, w)(params, batch)
         return self._frame_post_aug_fn(h, w, tuple(flips))(
             params, c5, cls_map, reg_map,
-            jnp.asarray(np.asarray(img_shapes), jnp.float32),
-            jnp.asarray(np.asarray(pad_shapes), jnp.float32),
-            jnp.asarray(np.asarray(scale_factors), jnp.float32))
+            _dev_f32(np.asarray(img_shapes)),
+            _dev_f32(np.asarray(pad_shapes)),
+            _dev_f32(np.asarray(scale_factors)))
 
     @functools.lru_cache(maxsize=4)
     def _window_aug_fn(self, t_dim: int, key_dim: int,
@@ -356,8 +379,8 @@ class BaseEngine:
         fn = self._window_aug_fn(t, self.key_dim if key_dim is None
                                  else key_dim, tuple(flips), branch)
         return fn(params, fc1_stacks, boxes_ori, masks,
-                  jnp.asarray(np.asarray(img_shapes), jnp.float32),
-                  jnp.asarray(np.asarray(scale_factors), jnp.float32))
+                  _dev_f32(np.asarray(img_shapes)),
+                  _dev_f32(np.asarray(scale_factors)))
 
     # ------------------------------------------------- batched frame program
     @functools.lru_cache(maxsize=8)
@@ -415,8 +438,8 @@ class BaseEngine:
         c5, cls_map, reg_map = self._backbone_dispatch(params, imgs, img_shapes)
         return self._frame_post_batched_fn(h, w)(
             params, c5, cls_map, reg_map,
-            jnp.asarray(img_shapes, jnp.float32),
-            jnp.asarray(pad_shapes, jnp.float32))
+            _dev_f32(img_shapes),
+            _dev_f32(pad_shapes))
 
 
 class _RingMixin:
@@ -489,8 +512,8 @@ class _RingMixin:
         fn = self._ring_detect_fn(self.window,
                                   self.key_dim if key_dim is None else key_dim,
                                   branch, getattr(self, "multi_pass", None))
-        return fn(params, state, jnp.asarray(img_shape, jnp.float32),
-                  jnp.asarray(scale_factor, jnp.float32))
+        return fn(params, state, _dev_f32(img_shape),
+                  _dev_f32(scale_factor))
 
     @functools.lru_cache(maxsize=4)
     def _ring_step_fn(self, t_dim: int, key_dim: int, branch=None,
@@ -526,8 +549,8 @@ class _RingMixin:
                                 self.key_dim if key_dim is None else key_dim,
                                 branch, getattr(self, "multi_pass", None))
         return fn(params, state, feats,
-                  jnp.asarray(img_shape, jnp.float32),
-                  jnp.asarray(scale_factor, jnp.float32))
+                  _dev_f32(img_shape),
+                  _dev_f32(scale_factor))
 
     # -------------------------------------------------- batched ring buffers
     def ring_reset_batched(self, batch: int, fc1_dim: int):
@@ -613,8 +636,8 @@ class _RingMixin:
         fn = self._ring_detect_batched_fn(
             self.window, self.key_dim if key_dim is None else key_dim, branch,
             getattr(self, "multi_pass", None))
-        return fn(params, state, jnp.asarray(img_shapes, jnp.float32),
-                  jnp.asarray(scale_factors, jnp.float32))
+        return fn(params, state, _dev_f32(img_shapes),
+                  _dev_f32(scale_factors))
 
 
 @DETECTORS.register_module
@@ -678,8 +701,8 @@ class SelsaRCNN(_RingMixin, BaseEngine):
         fn = self._window_fn(t, self.key_dim if key_dim is None else key_dim,
                              branch)
         return fn(params, fc1_stack, boxes, masks,
-                  jnp.asarray(img_shape, jnp.float32),
-                  jnp.asarray(scale_factor, jnp.float32))
+                  _dev_f32(img_shape),
+                  _dev_f32(scale_factor))
 
 
 @DETECTORS.register_module
@@ -776,8 +799,8 @@ class HNMBRCNN(_RingMixin, BaseEngine):
         fn = self._window_fn(t, self.key_dim if key_dim is None else key_dim,
                              branch, passes)
         return fn(params, fc1_stack, boxes, masks,
-                  jnp.asarray(img_shape, jnp.float32),
-                  jnp.asarray(scale_factor, jnp.float32))
+                  _dev_f32(img_shape),
+                  _dev_f32(scale_factor))
 
     # --------------------------------------------------- streaming ring path
     #: when True the ring buffer also carries streaming-softmax accumulators
@@ -892,8 +915,8 @@ class HNMBRCNN(_RingMixin, BaseEngine):
                                        key_dim, branch)
         fn = self._stream_detect_fn(
             self.window, self.key_dim if key_dim is None else key_dim, branch)
-        return fn(params, state, jnp.asarray(img_shape, jnp.float32),
-                  jnp.asarray(scale_factor, jnp.float32))
+        return fn(params, state, _dev_f32(img_shape),
+                  _dev_f32(scale_factor))
 
     @functools.lru_cache(maxsize=4)
     def _stream_step_fn(self, t_dim: int, key_dim: int, branch=None):
@@ -926,8 +949,8 @@ class HNMBRCNN(_RingMixin, BaseEngine):
         fn = self._stream_step_fn(
             self.window, self.key_dim if key_dim is None else key_dim, branch)
         return fn(params, state, feats,
-                  jnp.asarray(img_shape, jnp.float32),
-                  jnp.asarray(scale_factor, jnp.float32))
+                  _dev_f32(img_shape),
+                  _dev_f32(scale_factor))
 
 
 @DETECTORS.register_module
@@ -977,9 +1000,9 @@ class FasterRCNN(BaseEngine):
 
     def simple_test(self, params, img, img_shape, pad_shape, scale_factor):
         fn = self._simple_test_fn(img.shape[1], img.shape[2])
-        return fn(params, img, jnp.asarray(img_shape, jnp.float32),
-                  jnp.asarray(pad_shape, jnp.float32),
-                  jnp.asarray(scale_factor, jnp.float32))
+        return fn(params, img, _dev_f32(img_shape),
+                  _dev_f32(pad_shape),
+                  _dev_f32(scale_factor))
 
 
     @functools.lru_cache(maxsize=4)
@@ -1048,9 +1071,9 @@ class FasterRCNN(BaseEngine):
         batch = jnp.concatenate(list(imgs), axis=0)
         fn = self._aug_test_fn(batch.shape[1], batch.shape[2], tuple(flips))
         return fn(params, batch,
-                  jnp.asarray(np.asarray(img_shapes), jnp.float32),
-                  jnp.asarray(np.asarray(pad_shapes), jnp.float32),
-                  jnp.asarray(np.asarray(scale_factors), jnp.float32))
+                  _dev_f32(np.asarray(img_shapes)),
+                  _dev_f32(np.asarray(pad_shapes)),
+                  _dev_f32(np.asarray(scale_factors)))
 
 
 @DETECTORS.register_module
