@@ -188,6 +188,18 @@ class BaseEngine:
         return get_canvas(h, w, self.anchor_stride,
                           self.anchor_scales, self.anchor_ratios)
 
+    @staticmethod
+    def _bb(params):
+        """bbox_head-only variables dict for the head-side programs.
+
+        Dispatch overhead on the tunnel scales with the argument pytree's
+        leaf count (~0.9 ms/call for the full 568-leaf tree vs ~0.05 ms for
+        a few leaves — BASELINE.md round 3).  The post/window/ring programs
+        only read bbox_head (40 leaves), so their wrappers hand them just
+        that subtree; flax resolves submodules by name, so ``apply`` over
+        the restricted dict is identical."""
+        return {"params": {"bbox_head": params["params"]["bbox_head"]}}
+
     # -------------------------------------------------------- frame program
     # The per-frame work is compiled as TWO programs (backbone+maps, then
     # proposals+RoIAlign+fc1): fused into one, XLA's compile time on this
@@ -268,7 +280,7 @@ class BaseEngine:
         h, w = img.shape[1], img.shape[2]
         c5, cls_map, reg_map = self._backbone_dispatch(params, img, img_shape)
         return self._frame_post_fn(h, w)(
-            params, c5, cls_map, reg_map,
+            self._bb(params), c5, cls_map, reg_map,
             _dev_f32(img_shape),
             _dev_f32(pad_shape))
 
@@ -324,7 +336,7 @@ class BaseEngine:
         h, w = batch.shape[1], batch.shape[2]
         c5, cls_map, reg_map = self._frame_backbone_fn(h, w)(params, batch)
         return self._frame_post_aug_fn(h, w, tuple(flips))(
-            params, c5, cls_map, reg_map,
+            self._bb(params), c5, cls_map, reg_map,
             _dev_f32(np.asarray(img_shapes)),
             _dev_f32(np.asarray(pad_shapes)),
             _dev_f32(np.asarray(scale_factors)))
@@ -378,7 +390,7 @@ class BaseEngine:
         t = fc1_stacks.shape[1]
         fn = self._window_aug_fn(t, self.key_dim if key_dim is None
                                  else key_dim, tuple(flips), branch)
-        return fn(params, fc1_stacks, boxes_ori, masks,
+        return fn(self._bb(params), fc1_stacks, boxes_ori, masks,
                   _dev_f32(np.asarray(img_shapes)),
                   _dev_f32(np.asarray(scale_factors)))
 
@@ -437,7 +449,7 @@ class BaseEngine:
         h, w = imgs.shape[1], imgs.shape[2]
         c5, cls_map, reg_map = self._backbone_dispatch(params, imgs, img_shapes)
         return self._frame_post_batched_fn(h, w)(
-            params, c5, cls_map, reg_map,
+            self._bb(params), c5, cls_map, reg_map,
             _dev_f32(img_shapes),
             _dev_f32(pad_shapes))
 
@@ -512,7 +524,7 @@ class _RingMixin:
         fn = self._ring_detect_fn(self.window,
                                   self.key_dim if key_dim is None else key_dim,
                                   branch, getattr(self, "multi_pass", None))
-        return fn(params, state, _dev_f32(img_shape),
+        return fn(self._bb(params), state, _dev_f32(img_shape),
                   _dev_f32(scale_factor))
 
     @functools.lru_cache(maxsize=4)
@@ -548,7 +560,7 @@ class _RingMixin:
         fn = self._ring_step_fn(self.window,
                                 self.key_dim if key_dim is None else key_dim,
                                 branch, getattr(self, "multi_pass", None))
-        return fn(params, state, feats,
+        return fn(self._bb(params), state, feats,
                   _dev_f32(img_shape),
                   _dev_f32(scale_factor))
 
@@ -636,7 +648,7 @@ class _RingMixin:
         fn = self._ring_detect_batched_fn(
             self.window, self.key_dim if key_dim is None else key_dim, branch,
             getattr(self, "multi_pass", None))
-        return fn(params, state, _dev_f32(img_shapes),
+        return fn(self._bb(params), state, _dev_f32(img_shapes),
                   _dev_f32(scale_factors))
 
 
@@ -700,7 +712,7 @@ class SelsaRCNN(_RingMixin, BaseEngine):
         t = fc1_stack.shape[0]
         fn = self._window_fn(t, self.key_dim if key_dim is None else key_dim,
                              branch)
-        return fn(params, fc1_stack, boxes, masks,
+        return fn(self._bb(params), fc1_stack, boxes, masks,
                   _dev_f32(img_shape),
                   _dev_f32(scale_factor))
 
@@ -798,7 +810,7 @@ class HNMBRCNN(_RingMixin, BaseEngine):
             assert t % passes == 0, (t, passes)
         fn = self._window_fn(t, self.key_dim if key_dim is None else key_dim,
                              branch, passes)
-        return fn(params, fc1_stack, boxes, masks,
+        return fn(self._bb(params), fc1_stack, boxes, masks,
                   _dev_f32(img_shape),
                   _dev_f32(scale_factor))
 
@@ -879,7 +891,8 @@ class HNMBRCNN(_RingMixin, BaseEngine):
         if not self.stream:
             return self._ring_push_fn(self.window)(state, feats)
         assert params is not None, "streaming ring_push needs params"
-        return self._stream_push_fn(self.window)(params, state, feats)
+        return self._stream_push_fn(self.window)(self._bb(params), state,
+                                                 feats)
 
     def _stream_decode(self, params, state, img_shape, scale_factor,
                        t_dim: int, key_dim: int, branch):
@@ -915,7 +928,7 @@ class HNMBRCNN(_RingMixin, BaseEngine):
                                        key_dim, branch)
         fn = self._stream_detect_fn(
             self.window, self.key_dim if key_dim is None else key_dim, branch)
-        return fn(params, state, _dev_f32(img_shape),
+        return fn(self._bb(params), state, _dev_f32(img_shape),
                   _dev_f32(scale_factor))
 
     @functools.lru_cache(maxsize=4)
@@ -948,7 +961,7 @@ class HNMBRCNN(_RingMixin, BaseEngine):
                                      scale_factor, key_dim, branch)
         fn = self._stream_step_fn(
             self.window, self.key_dim if key_dim is None else key_dim, branch)
-        return fn(params, state, feats,
+        return fn(self._bb(params), state, feats,
                   _dev_f32(img_shape),
                   _dev_f32(scale_factor))
 
