@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..layers import ConvBN, max_pool_3x3_s2_p1
+from ..layers import ConvBN, StemBlock
 from ..registry import BACKBONES
 
 ARCH_SETTINGS = {
@@ -202,9 +202,9 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         block, stage_blocks = ARCH_SETTINGS[self.depth]
-        # stem: 7×7/2 conv + BN + relu + 3×3/2 maxpool
-        x = ConvBN(64, (7, 7), (2, 2), padding=3, dtype=self.dtype, name="stem")(x)
-        x = max_pool_3x3_s2_p1(x)
+        # stem: 7×7/2 conv + BN + relu + 3×3/2 maxpool, lowered as a fused
+        # block-4 space-to-depth pipeline (exact; see layers.StemBlock)
+        x = StemBlock(dtype=self.dtype, name="stem")(x)
         if self.frozen_stages >= 0:
             x = jax.lax.stop_gradient(x)
         outs = []

@@ -134,11 +134,33 @@ def roi_align(feats: jnp.ndarray, rois: jnp.ndarray, out_size: int = 7,
 
         wy_mat = axis_weights(y_lo, y_hi, ly, y_in, H)
         wx_mat = axis_weights(x_lo, x_hi, lx, x_in, W)
-        f0 = feats[0].astype(jnp.float32)
-        t1 = jnp.einsum("riy,yxc->rixc", wy_mat, f0,
+        # The contraction dtype follows the feature dtype: f32 features keep
+        # the bit-exact-vs-CUDA f32 math the parity tests assert (average the
+        # sn×sn samples AFTER sampling, like the kernel); bf16 features (the
+        # inference path — everything upstream is already bf16) run the
+        # einsums on the MXU at bf16 rates with f32 accumulation, and the
+        # sn-sample mean folds INTO the axis weights (pooling is linear and
+        # separable), shrinking the (R, s·sn, W, C) intermediate — the
+        # HBM-bound term — and the FLOPs by sn² = 4×.  Weight matrices hold
+        # exact {frac, 1-frac, 0} taps; bf16 rounds frac to 8 mantissa bits —
+        # covered by the end-to-end bf16 accuracy budget
+        # (tests/test_bf16_budget.py).
+        if feats.dtype == jnp.float32:
+            f0 = feats[0]
+            t1 = jnp.einsum("riy,yxc->rixc", wy_mat, f0,
+                            preferred_element_type=jnp.float32)
+            val = jnp.einsum("rixc,rjx->rijc", t1, wx_mat,
+                             preferred_element_type=jnp.float32)
+            return val.reshape(R, s, sn, s, sn, C).mean(axis=(2, 4))
+        cdt = feats.dtype
+        wy_p = wy_mat.reshape(R, s, sn, H).mean(axis=2)       # (R, s, H)
+        wx_p = wx_mat.reshape(R, s, sn, W).mean(axis=2)       # (R, s, W)
+        f0 = feats[0].astype(cdt)
+        t1 = jnp.einsum("riy,yxc->rixc", wy_p.astype(cdt), f0,
                         preferred_element_type=jnp.float32)
-        val = jnp.einsum("rixc,rjx->rijc", t1, wx_mat,
-                         preferred_element_type=jnp.float32)
+        return jnp.einsum("rixc,rjx->rijc", t1.astype(cdt),
+                          wx_p.astype(cdt),
+                          preferred_element_type=jnp.float32)
     else:
         flat = feats.reshape(B * H * W, C)
         base = (batch_idx * (H * W))[:, None, None]  # (R,1,1)
