@@ -842,7 +842,13 @@ class HNMBRCNN(_RingMixin, BaseEngine):
             raise ValueError("streaming ring requires every cached row to be "
                              "a key (t_dim·sampler_num ≥ window·proposals; "
                              f"got {key_rows} < {R})")
-        zeros = lambda d: jnp.zeros((T, P, d), self.dtype)
+        # stationary caches live FLAT (T·P, D): (T, P, D) buffers tile-pad
+        # the P=300 axis to 304, so every (T,P,D)→(R,D) reshape in the slide
+        # programs was a real repack (~0.15 ms/frame) — flat makes them
+        # bitcasts.  fc1 is re-shaped flat too (stream engines never use the
+        # base ring's rolled (T,P,D) view).
+        zeros = lambda d: jnp.zeros((R, d), self.dtype)
+        state["fc1"] = jnp.zeros((R, int(fc1_dim)), self.dtype)
         state.update(
             q1=zeros(dim[0]), k1=zeros(dim[1]),
             fc3s=zeros(fc_feat), q3=zeros(dim[0]), k3=zeros(dim[1]),

@@ -343,64 +343,81 @@ class HRNMPBBoxHead(nn.Module):
     def stream_update(self, st: dict, fc1_new: jnp.ndarray,
                       mask_new: jnp.ndarray, slot) -> dict:
         """Slide the window: evict ring slot ``slot``'s keys from the NL1/NL3
-        accumulators, insert the arriving frame's, overwrite the stationary
-        caches, and rebuild the arriving rows' accumulators exactly.
+        accumulators, insert the arriving frame's (one fused pass — see
+        ops/streaming_attention.slide), overwrite the stationary caches, and
+        rebuild the arriving rows' accumulators exactly.
 
-        st keys: fc1, mask (the engine ring) + q1, k1, fc3s, q3, k3 (T,P,D)
-        + m1, l1, m3, l3 (T·P,) + a1, a3 (T·P, D) + M1, M3 (T·P, T) per-slot
-        logit-max health tables.  ``slot`` is traced.
+        st keys: mask (T, P) + fc1, q1, k1, fc3s, q3, k3 stored FLAT
+        (T·P, D) — (T, P, D) buffers tile-pad the 300-row axis to 304 on TPU,
+        so every per-step (T,P,D)→(R,D) reshape was a real repack (~0.15
+        ms/frame profiled); flat storage makes them bitcasts — plus m1, l1,
+        m3, l3 (T·P,), a1, a3 (T·P, D), and M1, M3 (T·P, T) per-slot
+        logit-max health tables.  ``slot`` is traced.  Both blocks' exact
+        rebuilds share ONE `lax.cond` (each cond boundary copies its big
+        operand tuple even when the cheap branch runs — two conds cost ~0.23
+        ms/step profiled).
         """
-        from ...ops.streaming_attention import (evict, init_rows, insert,
-                                                repair)
+        from ...ops.streaming_attention import (degenerate_rows, init_rows,
+                                                slide)
         T, P = st["mask"].shape
         R = T * P
         proj = self.stream_project(fc1_new)
-        take = lambda arr: jax.lax.dynamic_index_in_dim(arr, slot, 0,
-                                                        keepdims=False)
-        put = lambda arr, new: jax.lax.dynamic_update_slice(
-            arr, new[None].astype(arr.dtype), (slot,) + (0,) * (arr.ndim - 1))
-        put_rows = lambda flat, new: jax.lax.dynamic_update_slice(
-            flat.reshape((T, P) + flat.shape[1:]),
-            new[None].astype(flat.dtype),
-            (slot,) + (0,) * new.ndim).reshape(flat.shape)
+        row0 = slot * P
+        take_rows = lambda arr: jax.lax.dynamic_slice_in_dim(arr, row0, P, 0)
+        put_rows = lambda arr, new: jax.lax.dynamic_update_slice_in_dim(
+            arr, new.astype(arr.dtype), row0, 0)
 
         out = dict(st)
-        out["fc1"] = put(st["fc1"], fc1_new)
-        out["mask"] = put(st["mask"], mask_new)
+        out["mask"] = jax.lax.dynamic_update_slice(
+            st["mask"], mask_new[None].astype(st["mask"].dtype), (slot, 0))
+        out["fc1"] = put_rows(st["fc1"], fc1_new)
         for k in ("q1", "k1", "fc3s", "q3", "k3"):
-            out[k] = put(st[k], proj[k])
+            out[k] = put_rows(st[k], proj[k])
         mask_all = out["mask"].reshape(R)
 
-        def slide_block(name, q_cache, k_cache, v_cache, q_new, k_new, v_new,
-                        k_all, v_all, scale):
+        def slide_block(name, q_new, k_new, v_new, scale):
             acc = dict(m=st["m" + name], l=st["l" + name], a=st["a" + name])
-            q = q_cache.reshape(R, -1)
-            acc = evict(acc, q, take(k_cache), take(v_cache),
-                        take(st["mask"]), scale)
-            acc, col = insert(acc, q, k_new, v_new, mask_new, scale)
+            vkey = "fc1" if name == "1" else "fc3s"
+            acc, col = slide(acc, st["q" + name],
+                             take_rows(st["k" + name]), take_rows(st[vkey]),
+                             jax.lax.dynamic_index_in_dim(
+                                 st["mask"], slot, 0, keepdims=False),
+                             k_new, v_new, mask_new, scale)
             M = jax.lax.dynamic_update_slice(st["M" + name], col[:, None],
                                              (0, slot))
             # fresh accumulators + health rows for the arriving frame
-            fr, frM = init_rows(q_new, k_all, v_all, mask_all, scale, slots=T)
+            fr, frM = init_rows(q_new, out["k" + name], out[vkey], mask_all,
+                                scale, slots=T)
             acc = dict(m=put_rows(acc["m"], fr["m"]),
                        l=put_rows(acc["l"], fr["l"]),
                        a=put_rows(acc["a"], fr["a"]))
             M = put_rows(M, frM)
-            # exact full rebuild under lax.cond if any row went degenerate
-            q_all = out["q" + name].reshape(R, -1)
-            acc, M = repair(acc, M, q_all, k_all, v_all, mask_all, scale, T)
-            out["m" + name], out["l" + name], out["a" + name] = \
-                acc["m"], acc["l"], acc["a"]
-            out["M" + name] = M
+            return acc, M
 
-        slide_block("1", st["q1"], st["k1"], st["fc1"],
-                    proj["q1"], proj["k1"], fc1_new,
-                    out["k1"].reshape(R, -1), out["fc1"].reshape(R, -1),
-                    self.selsa_1.scale)
-        slide_block("3", st["q3"], st["k3"], st["fc3s"],
-                    proj["q3"], proj["k3"], proj["fc3s"],
-                    out["k3"].reshape(R, -1), out["fc3s"].reshape(R, -1),
-                    self.selsa_3.scale)
+        acc1, M1 = slide_block("1", proj["q1"], proj["k1"], fc1_new,
+                               self.selsa_1.scale)
+        acc3, M3 = slide_block("3", proj["q3"], proj["k3"], proj["fc3s"],
+                               self.selsa_3.scale)
+
+        # ONE exact-rebuild cond for both blocks: rebuilding a healthy block
+        # alongside a degenerate one is still exact, and repairs are rare
+        bad = degenerate_rows(acc1, M1).any() | degenerate_rows(acc3, M3).any()
+
+        def rebuild(_):
+            a1, m1 = init_rows(out["q1"], out["k1"], out["fc1"], mask_all,
+                               self.selsa_1.scale, slots=T)
+            a3, m3 = init_rows(out["q3"], out["k3"], out["fc3s"], mask_all,
+                               self.selsa_3.scale, slots=T)
+            return a1, m1, a3, m3
+
+        def keep(_):
+            return acc1, M1, acc3, M3
+
+        acc1, M1, acc3, M3 = jax.lax.cond(bad, rebuild, keep, None)
+        out["m1"], out["l1"], out["a1"], out["M1"] = \
+            acc1["m"], acc1["l"], acc1["a"], M1
+        out["m3"], out["l3"], out["a3"], out["M3"] = \
+            acc3["m"], acc3["l"], acc3["a"], M3
         return out
 
     def stream_forward(self, st: dict, center):
@@ -412,52 +429,53 @@ class HRNMPBBoxHead(nn.Module):
         the center slot's stationary rows vs the fresh fc_all_2 rows, plus
         one exact pass for the center rows' fresh queries.
         """
-        from ...ops.streaming_attention import (evict, finalize, init_rows,
-                                                insert, repair)
+        from ...ops.streaming_attention import (finalize, init_rows, repair,
+                                                slide)
         T, P = st["mask"].shape
         R = T * P
         mask_all = st["mask"].reshape(R)
-        take = lambda arr: jax.lax.dynamic_index_in_dim(arr, center, 0,
-                                                        keepdims=False)
-        put = lambda arr, new: jax.lax.dynamic_update_slice(
-            arr, new[None].astype(arr.dtype), (center,) + (0,) * (arr.ndim - 1))
+        row0 = center * P
+        take_rows = lambda arr: jax.lax.dynamic_slice_in_dim(arr, row0, P, 0)
+        put_rows = lambda arr, new: jax.lax.dynamic_update_slice_in_dim(
+            arr, new.astype(arr.dtype), row0, 0)
 
         att1 = self.selsa_1.out_proj(
             finalize(dict(m=st["m1"], l=st["l1"], a=st["a1"])))
-        fc_all_1 = nn.relu(st["fc1"].reshape(R, -1).astype(self.dtype) + att1)
+        fc_all_1 = nn.relu(st["fc1"].astype(self.dtype) + att1)
 
         fc2 = self.fc_new_2(fc_all_1)
-        fc2_c = take(fc2.reshape(T, P, -1))
+        fc2_c = take_rows(fc2)
         att2 = self.selsa_2(fc2_c, fc2, mask_all)
         fc_all_2_cur = nn.relu(fc2_c + att2)
         cls_branch, reg_branch = self._branch(fc_all_2_cur, final=False)
 
         # NL3: splice = replace the center slot's stationary rows with the
-        # fresh fc_all_2 rows, on both the key side (temporary evict/insert
-        # on the accumulators) and the query side (exact pass, rows spliced)
+        # fresh fc_all_2 rows, on both the key side (temporary fused
+        # evict+insert on the accumulators) and the query side (exact pass,
+        # rows spliced)
         fc3f = self.fc_new_3(fc_all_2_cur)
         q3f = self.selsa_3.q_proj(fc3f)
         k3f = self.selsa_3.k_proj(fc3f)
         scale3 = self.selsa_3.scale
-        q3 = st["q3"].reshape(R, -1)
-        mask_c = take(st["mask"])
-        k3_eff = put(st["k3"], k3f).reshape(R, -1)
-        fc3_eff = put(st["fc3s"], fc3f).reshape(R, -1)
+        q3 = st["q3"]
+        mask_c = jax.lax.dynamic_index_in_dim(st["mask"], center, 0,
+                                              keepdims=False)
+        k3_eff = put_rows(st["k3"], k3f)
+        fc3_eff = put_rows(st["fc3s"], fc3f)
         acc3 = dict(m=st["m3"], l=st["l3"], a=st["a3"])
-        acc3 = evict(acc3, q3, take(st["k3"]), take(st["fc3s"]), mask_c,
-                     scale3)
-        acc3, col3 = insert(acc3, q3, k3f, fc3f, mask_c, scale3)
+        acc3, col3 = slide(acc3, q3, take_rows(st["k3"]), take_rows(st["fc3s"]),
+                           mask_c, k3f, fc3f, mask_c, scale3)
         M3 = jax.lax.dynamic_update_slice(st["M3"], col3[:, None], (0, center))
         acc3, _ = repair(acc3, M3, q3, k3_eff, fc3_eff, mask_all, scale3, T)
         att3 = finalize(acc3)                                   # (R, D)
 
         acc_c = init_rows(q3f, k3_eff, fc3_eff, mask_all, scale3)
-        att3 = put(att3.reshape(T, P, -1), finalize(acc_c)).reshape(R, -1)
+        att3 = put_rows(att3, finalize(acc_c))
         att3 = self.selsa_3.out_proj(att3)
         fc_all_3 = nn.relu(fc3_eff.astype(self.dtype) + att3)
 
         fc4 = self.fc_new_4(fc_all_3)
-        fc4_c = take(fc4.reshape(T, P, -1))
+        fc4_c = take_rows(fc4)
         att4 = self.selsa_4(fc4_c, fc4, mask_all)
         fc_all_4 = nn.relu(fc4_c + att4)
         cls_final, reg_final = self._branch(fc_all_4, final=True)

@@ -117,6 +117,39 @@ def insert(acc: Dict, q: jnp.ndarray, k_new: jnp.ndarray, v_new: jnp.ndarray,
     return acc, col_max
 
 
+def slide(acc: Dict, q: jnp.ndarray,
+          k_dep: jnp.ndarray, v_dep: jnp.ndarray, mask_dep: jnp.ndarray,
+          k_new: jnp.ndarray, v_new: jnp.ndarray, mask_new: jnp.ndarray,
+          scale: float) -> Tuple[Dict, jnp.ndarray]:
+    """`evict` + `insert` composed into ONE accumulator pass.
+
+    Algebraically identical to ``insert(evict(acc, …), …)`` — the eviction
+    weights are taken against the OLD anchor and the combined rescale is
+    applied once — but the (R, D) accumulator is read and written a single
+    time instead of twice (the a-array is 25.8 MB f32 at the 21×300 point;
+    the fused form saves two full HBM passes per block per step).
+    Returns (acc, col_max) like `insert`.
+    """
+    s_dep = _logits(q, k_dep, scale)                      # (R, P)
+    w = jnp.where(mask_dep[None, :],
+                  jnp.exp(s_dep - acc["m"][:, None]), 0.0)
+    s_new = _logits(q, k_new, scale)                      # (R, P)
+    s_new = jnp.where(mask_new[None, :], s_new, -jnp.inf)
+    col_max = s_new.max(axis=1)
+    m_new = jnp.maximum(acc["m"], col_max)
+    r = jnp.where(jnp.isneginf(m_new), 0.0, jnp.exp(acc["m"] - m_new))
+    p = jnp.where(mask_new[None, :], jnp.exp(s_new - m_new[:, None]), 0.0)
+    acc = dict(
+        m=m_new,
+        l=(acc["l"] - w.sum(axis=1)) * r + p.sum(axis=1),
+        a=(acc["a"] - jnp.dot(w, v_dep.astype(jnp.float32),
+                              preferred_element_type=jnp.float32))
+          * r[:, None]
+          + jnp.dot(p, v_new.astype(jnp.float32),
+                    preferred_element_type=jnp.float32))
+    return acc, col_max
+
+
 def init_rows(q_new: jnp.ndarray, k_all: jnp.ndarray, v_all: jnp.ndarray,
               mask_all: jnp.ndarray, scale: float, slots: int = 0):
     """Fresh accumulators for query rows over the full live key set.
