@@ -22,51 +22,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _sample_grid(feats_shape, rois, out_size, spatial_scale, sample_num):
-    """Shared coordinate/weight computation for forward and backward."""
-    B, H, W, C = feats_shape
-    s, sn = out_size, sample_num
-    batch_idx = rois[:, 0].astype(jnp.int32)
-    roi_start_w = rois[:, 1] * spatial_scale
-    roi_start_h = rois[:, 2] * spatial_scale
-    roi_end_w = (rois[:, 3] + 1.0) * spatial_scale
-    roi_end_h = (rois[:, 4] + 1.0) * spatial_scale
-    roi_w = jnp.maximum(roi_end_w - roi_start_w, 0.0)
-    roi_h = jnp.maximum(roi_end_h - roi_start_h, 0.0)
-    bin_w = roi_w / s
-    bin_h = roi_h / s
-    ph = jnp.arange(s, dtype=jnp.float32)
-    frac = (jnp.arange(sn, dtype=jnp.float32) + 0.5) / sn
-    off = (ph[:, None] + frac[None, :]).reshape(-1)
-    ys = roi_start_h[:, None] + off[None, :] * bin_h[:, None]
-    xs = roi_start_w[:, None] + off[None, :] * bin_w[:, None]
-
-    def interp_axis(v, dim):
-        inside = (v >= -1.0) & (v <= dim)
-        v = jnp.maximum(v, 0.0)
-        low = v.astype(jnp.int32)
-        at_edge = low >= dim - 1
-        low = jnp.where(at_edge, dim - 1, low)
-        high = jnp.where(at_edge, dim - 1, low + 1)
-        fracv = jnp.where(at_edge, 0.0, v - low.astype(jnp.float32))
-        return low, high, fracv, inside
-
-    y_lo, y_hi, ly, y_in = interp_axis(ys, H)
-    x_lo, x_hi, lx, x_in = interp_axis(xs, W)
-    hy, hx = 1.0 - ly, 1.0 - lx
-    base = (batch_idx * (H * W))[:, None, None]
-    mask = (y_in[:, :, None] & x_in[:, None, :]).astype(jnp.float32)
-    taps_idx = [base + y_lo[:, :, None] * W + x_lo[:, None, :],
-                base + y_lo[:, :, None] * W + x_hi[:, None, :],
-                base + y_hi[:, :, None] * W + x_lo[:, None, :],
-                base + y_hi[:, :, None] * W + x_hi[:, None, :]]
-    taps_w = [hy[:, :, None] * hx[:, None, :],
-              hy[:, :, None] * lx[:, None, :],
-              ly[:, :, None] * hx[:, None, :],
-              ly[:, :, None] * lx[:, None, :]]
-    return taps_idx, taps_w, mask
-
-
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def roi_align(feats: jnp.ndarray, rois: jnp.ndarray, out_size: int = 7,
               spatial_scale: float = 1.0 / 16.0, sample_num: int = 2) -> jnp.ndarray:
@@ -184,6 +139,52 @@ def roi_align(feats: jnp.ndarray, rois: jnp.ndarray, out_size: int = 7,
     return val
 
 
+def _sep_pooled_weights(feats_shape, rois, out_size, spatial_scale,
+                        sample_num):
+    """Separable per-axis sampling matrices with the sn-sample mean folded
+    in: wy (R, s, B·H) over GLOBAL rows (batch folded into the y axis — each
+    sample row touches exactly one image) and wx (R, s, W).  The bilinear
+    kernel factorizes wy·wx and pooling is linear, so
+    pooled = Wy @ feats @ Wxᵀ and the adjoint is two more contractions."""
+    B, H, W, C = feats_shape
+    s, sn = out_size, sample_num
+    batch_idx = rois[:, 0].astype(jnp.int32)
+    roi_start_w = rois[:, 1] * spatial_scale
+    roi_start_h = rois[:, 2] * spatial_scale
+    bin_w = jnp.maximum((rois[:, 3] + 1.0) * spatial_scale - roi_start_w, 0.0) / s
+    bin_h = jnp.maximum((rois[:, 4] + 1.0) * spatial_scale - roi_start_h, 0.0) / s
+    ph = jnp.arange(s, dtype=jnp.float32)
+    frac = (jnp.arange(sn, dtype=jnp.float32) + 0.5) / sn
+    off = (ph[:, None] + frac[None, :]).reshape(-1)
+    ys = roi_start_h[:, None] + off[None, :] * bin_h[:, None]   # (R, s·sn)
+    xs = roi_start_w[:, None] + off[None, :] * bin_w[:, None]
+
+    def interp_axis(v, dim):
+        inside = (v >= -1.0) & (v <= dim)
+        v = jnp.maximum(v, 0.0)
+        low = v.astype(jnp.int32)
+        at_edge = low >= dim - 1
+        low = jnp.where(at_edge, dim - 1, low)
+        high = jnp.where(at_edge, dim - 1, low + 1)
+        fracv = jnp.where(at_edge, 0.0, v - low.astype(jnp.float32))
+        return low, high, fracv, inside
+
+    def weights(lo, hi, fr, inside, dim, offs):
+        ar = jnp.arange(dim)
+        lo = lo + offs
+        hi = hi + offs
+        w = ((1.0 - fr)[..., None] * (ar == lo[..., None])
+             + fr[..., None] * (ar == hi[..., None]))
+        w = w * inside[..., None].astype(jnp.float32)     # (R, s·sn, dim)
+        return w.reshape(w.shape[0], s, sn, dim).mean(axis=2)
+
+    y_lo, y_hi, ly, y_in = interp_axis(ys, H)
+    x_lo, x_hi, lx, x_in = interp_axis(xs, W)
+    wy = weights(y_lo, y_hi, ly, y_in, B * H, (batch_idx * H)[:, None])
+    wx = weights(x_lo, x_hi, lx, x_in, W, 0)
+    return wy, wx
+
+
 def _roi_align_fwd(feats, rois, out_size, spatial_scale, sample_num):
     # residuals: a 0-d dtype witness + static shape + rois
     return roi_align(feats, rois, out_size, spatial_scale, sample_num), \
@@ -191,34 +192,28 @@ def _roi_align_fwd(feats, rois, out_size, spatial_scale, sample_num):
 
 
 def _roi_align_bwd(out_size, spatial_scale, sample_num, res, g):
-    """Backward via sort-based segment_sum instead of XLA scatter-add.
+    """Backward via the separable-matmul adjoint.
 
-    Autodiff of the forward's gather lowers to a scatter over ~R·(7·2)²·4
-    indices, which executes near-serially on TPU (measured ~20 s/step in
-    SELSA training).  segment_sum lowers to sort+segmented-scan and finishes
-    in milliseconds.  RoIs get no gradient (matches the reference custom
+    dfeats = Σ_r Wy[r]ᵀ @ g[r] @ Wx[r] with the batch folded into Wy's row
+    axis — pure MXU contractions.  Autodiff of the forward's gather lowers
+    to a scatter over ~R·(7·2)²·4 indices (near-serial on TPU, ~20 s/step
+    measured in round 1); the earlier sort-based segment_sum fix ran in
+    milliseconds but still cost 3.4 ms per call at 608×1008 training shapes
+    — the contraction form is ~10× cheaper again and is the exact adjoint
+    in real arithmetic.  RoIs get no gradient (matches the reference custom
     autograd Function, roi_align.py:9-50).
     """
     dtype_ref, _, feats_shape, rois = res
     feats_dtype = dtype_ref.dtype
     B, H, W, C = feats_shape
-    R = rois.shape[0]
-    s, sn = out_size, sample_num
-    taps_idx, taps_w, mask = _sample_grid(feats_shape, rois, out_size,
-                                          spatial_scale, sample_num)
-    # d(val_sample) = g_bin / sn²  broadcast back to the sample grid
-    g_bin = g.astype(jnp.float32) / (sn * sn)          # (R, s, s, C)
-    g_s = jnp.repeat(jnp.repeat(g_bin, sn, axis=1), sn, axis=2)  # (R,S2,S2,C)
-    g_s = g_s * mask[..., None]
-    n = R * (s * sn) * (s * sn)
-    updates = []
-    ids = []
-    for idx, w in zip(taps_idx, taps_w):
-        updates.append((g_s * w[..., None]).reshape(n, C))
-        ids.append(idx.reshape(n))
-    updates = jnp.concatenate(updates, axis=0)
-    ids = jnp.concatenate(ids, axis=0)
-    dflat = jax.ops.segment_sum(updates, ids, num_segments=B * H * W)
+    wy, wx = _sep_pooled_weights(feats_shape, rois, out_size, spatial_scale,
+                                 sample_num)                  # (R,s,BH),(R,s,W)
+    cdt = jnp.float32 if feats_dtype == jnp.float32 else feats_dtype
+    gg = g.astype(cdt)                                        # (R, s, s, C)
+    t = jnp.einsum("rijc,rjx->rixc", gg, wx.astype(cdt),
+                   preferred_element_type=jnp.float32)        # (R, s, W, C)
+    dflat = jnp.einsum("rixc,riy->yxc", t.astype(cdt), wy.astype(cdt),
+                       preferred_element_type=jnp.float32)    # (BH, W, C)
     dfeats = dflat.reshape(B, H, W, C).astype(feats_dtype)
     return dfeats, jnp.zeros_like(rois)
 

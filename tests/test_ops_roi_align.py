@@ -85,10 +85,9 @@ def test_roi_align_is_differentiable():
 
 
 def test_roi_align_custom_vjp_matches_autodiff():
-    """The segment_sum backward must equal plain autodiff of the gather form."""
+    """The separable-matmul backward must equal plain autodiff of the gather form."""
     import jax
     import jax.numpy as jnp
-    from hvrnet_tpu.ops.roi_align import _sample_grid
 
     rng = np.random.default_rng(9)
     feats = jnp.asarray(rng.normal(size=(2, 12, 16, 5)).astype(np.float32))
@@ -97,11 +96,44 @@ def test_roi_align_custom_vjp_matches_autodiff():
     g = jnp.asarray(rng.normal(size=(2, 7, 7, 5)).astype(np.float32))
 
     def forward_plain(f):
-        """Same math, no custom_vjp — XLA autodiff reference."""
-        taps_idx, taps_w, mask = _sample_grid(f.shape, rois, 7, 1 / 16.0, 2)
-        flat = f.reshape(-1, f.shape[-1])
-        val = sum(w[..., None] * flat[i.reshape(-1)].reshape(i.shape + (f.shape[-1],))
-                  for i, w in zip(taps_idx, taps_w))
+        """Same sampling math in plain gather form — XLA autodiff reference."""
+        B, H, W, C = f.shape
+        s, sn, scale = 7, 2, 1 / 16.0
+        bi = rois[:, 0].astype(jnp.int32)
+        y0 = rois[:, 2] * scale
+        x0 = rois[:, 1] * scale
+        bh = jnp.maximum((rois[:, 4] + 1.0) * scale - y0, 0.0) / s
+        bw = jnp.maximum((rois[:, 3] + 1.0) * scale - x0, 0.0) / s
+        off = (jnp.arange(s, dtype=jnp.float32)[:, None]
+               + (jnp.arange(sn, dtype=jnp.float32)[None, :] + 0.5) / sn
+               ).reshape(-1)
+        ys = y0[:, None] + off[None, :] * bh[:, None]
+        xs = x0[:, None] + off[None, :] * bw[:, None]
+
+        def axis(v, dim):
+            inside = (v >= -1.0) & (v <= dim)
+            v = jnp.maximum(v, 0.0)
+            lo = v.astype(jnp.int32)
+            edge = lo >= dim - 1
+            lo = jnp.where(edge, dim - 1, lo)
+            hi = jnp.where(edge, dim - 1, lo + 1)
+            fr = jnp.where(edge, 0.0, v - lo.astype(jnp.float32))
+            return lo, hi, fr, inside
+
+        y_lo, y_hi, ly, y_in = axis(ys, H)
+        x_lo, x_hi, lx, x_in = axis(xs, W)
+        hy, hx = 1.0 - ly, 1.0 - lx
+        flat = f.reshape(-1, C)
+        base = (bi * (H * W))[:, None, None]
+
+        def tap(yi, xi, wy, wx):
+            idx = base + yi[:, :, None] * W + xi[:, None, :]
+            v = flat[idx.reshape(-1)].reshape(idx.shape + (C,))
+            return (wy[:, :, None] * wx[:, None, :])[..., None] * v
+
+        val = (tap(y_lo, x_lo, hy, hx) + tap(y_lo, x_hi, hy, lx)
+               + tap(y_hi, x_lo, ly, hx) + tap(y_hi, x_hi, ly, lx))
+        mask = (y_in[:, :, None] & x_in[:, None, :]).astype(jnp.float32)
         val = val * mask[..., None]
         return val.reshape(2, 7, 2, 7, 2, -1).mean(axis=(2, 4))
 

@@ -1,0 +1,103 @@
+"""Sustained train-step probe on the real TPU (BASELINE.md methodology).
+
+Builds the config's trainer at the full 608×1008 canvas with synthetic
+batches matching the reference batch shapes (HVRNet: videos_per_batch
+triplet videos × 3 frames; SELSA: 3 frames), dispatches N donated steps
+back-to-back and blocks once — the tunnel-robust measurement.
+
+Usage: python tools/probe_train.py [--model hvrnet|selsa] [--steps 15]
+"""
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def make_batch(rng, frames, h, w, gmax=6):
+    """One training sample (leading batch axis 1) in the trainer's layout —
+    the same keys tests/test_train_step.py:make_sample feeds."""
+    imgs = rng.normal(size=(frames, h, w, 3)).astype(np.float32)
+    gt = np.zeros((frames, gmax, 4), np.float32)
+    gm = np.zeros((frames, gmax), bool)
+    gl = np.zeros((frames, gmax), np.int64)
+    for f in range(frames):
+        n = int(rng.integers(1, gmax + 1))
+        for g in range(n):
+            x1 = rng.uniform(0, w - 300)
+            y1 = rng.uniform(0, h - 300)
+            gt[f, g] = [x1, y1, x1 + rng.uniform(32, 256),
+                        y1 + rng.uniform(32, 256)]
+            gm[f, g] = True
+            gl[f, g] = rng.integers(1, 31)
+    return dict(
+        imgs=imgs[None], gt_bboxes=gt[None], gt_labels=gl[None],
+        gt_mask=gm[None],
+        img_shape=np.tile([600.0, 1000.0], (1, frames, 1)).astype(np.float32),
+        pad_shape=np.tile([float(h), float(w)], (1, frames, 1)).astype(np.float32))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=["hvrnet", "selsa"], default="hvrnet")
+    ap.add_argument("--steps", type=int, default=15)
+    ap.add_argument("--canvas", type=int, nargs=2, default=(608, 1008))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hvrnet_tpu_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from hvrnet_tpu.apis import build_trainer
+    from hvrnet_tpu.models.builder import build_detector
+    from hvrnet_tpu.utils.config import Config
+
+    cfgf = ("configs/faster_rcnn_r101_hrnmp_c5.py" if args.model == "hvrnet"
+            else "configs/faster_rcnn_r101_selsa_c5.py")
+    cfg = Config.fromfile(osp.join(osp.dirname(osp.dirname(
+        osp.abspath(__file__))), cfgf))
+    engine = build_detector(cfg.model, cfg.train_cfg, None, dtype=jnp.float32)
+    trainer = build_trainer(engine, cfg)
+
+    h, w = args.canvas
+    rng = np.random.default_rng(0)
+    if args.model == "hvrnet":
+        videos = int(cfg.data.get("videos_per_gpu", 3) or 3)
+        frames = 3 * max(videos, 3) + 6   # +2 extra-class videos (triplet pool)
+    else:
+        frames = 3
+    print(f"{args.model}: {frames} frames @ {h}x{w}", flush=True)
+
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        params = engine.init_params(jax.random.PRNGKey(0))
+    params = jax.device_put(params, jax.devices()[0])
+    state = trainer.create_state(params)
+    state = jax.device_put(state, jax.devices()[0])
+    step = trainer.make_train_step(h, w)
+
+    batch = jax.device_put(make_batch(rng, frames, h, w), jax.devices()[0])
+    t0 = time.perf_counter()
+    state, logs = step(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(logs)
+    print(f"compile+first step: {time.perf_counter()-t0:.1f} s; "
+          f"loss {float(logs['loss']):.3f}", flush=True)
+
+    n = args.steps
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, logs = step(state, batch, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(logs)
+    dt = (time.perf_counter() - t0) / n * 1e3
+    print(f"sustained: {dt:.1f} ms/step ({1e3/dt:.1f} steps/s, "
+          f"{frames*1e3/dt:.1f} frames/s) loss {float(logs['loss']):.3f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
