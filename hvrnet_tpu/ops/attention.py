@@ -123,12 +123,21 @@ def masked_attention(q, k, v, bias, scale: float):
 def _dispatch(q, k, v, bias, scale):
     if q.shape[-1] % 128 != 0:
         return _attention_reference(q, k, v, bias, scale)
+    # The q tile divides how many times the FULL K/V set streams from HBM
+    # (ceil(nq/tq) passes) — the binding term once nk is large (77 MB of
+    # K/V at the 63×300 point).  Small-query calls (the streaming ring's
+    # NL2/NL4: nq=300) take one pass; big-query calls (the exact ring) use
+    # tq=512 → half the K/V re-reads of the round-2 tq=256.  512 is the
+    # VMEM ceiling: tq=1024 at d=1024 needs a 17 MB scoped stack (q + f32
+    # acc + f32 out + k/v blocks, double-buffered) vs the 16 MB limit —
+    # observed as a compile-time scoped-vmem OOM.
+    tq = min(512, max(256, _round_up(q.shape[0], 256)))
     # platform-dependent lowering: the Pallas kernel on TPU, the XLA
     # expression on CPU (e.g. host-side init / tests)
     return jax.lax.platform_dependent(
         q, k, v, bias,
         cpu=functools.partial(_attention_reference, scale=scale),
-        default=functools.partial(_flash_attention, scale=scale))
+        default=functools.partial(_flash_attention, scale=scale, tq=tq))
 
 
 def _fwd(q, k, v, bias, scale):
