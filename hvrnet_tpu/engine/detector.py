@@ -830,11 +830,18 @@ class HNMBRCNN(_RingMixin, BaseEngine):
         return dim, fc_feat
 
     def ring_reset(self, fc1_dim: int):
-        state = super().ring_reset(fc1_dim)
         if not self.stream:
-            return state
+            return super().ring_reset(fc1_dim)
         T, P = self.window, self.proposal_num
         R = T * P
+        # base ring minus fc1 (replaced by the flat buffer below — allocating
+        # the (T, P, D) one just to drop it would be a dead ~26-74 MB fill
+        # per video reset)
+        state = dict(
+            boxes=jnp.zeros((T, P, 4), jnp.float32),
+            masks=jnp.zeros((T, P), bool),
+            pos=jnp.int32(-1),
+            count=jnp.int32(0))
         (dim, fc_feat) = self._stream_dims()
         bh = self.model_cfg["bbox_head"]
         key_rows = int(bh["t_dim"]) * int(bh.get("sampler_num", P))
@@ -845,10 +852,10 @@ class HNMBRCNN(_RingMixin, BaseEngine):
         # stationary caches live FLAT (T·P, D): (T, P, D) buffers tile-pad
         # the P=300 axis to 304, so every (T,P,D)→(R,D) reshape in the slide
         # programs was a real repack (~0.15 ms/frame) — flat makes them
-        # bitcasts.  fc1 is re-shaped flat too (stream engines never use the
-        # base ring's rolled (T,P,D) view).
+        # bitcasts.  fc1 is flat too (stream engines never use the base
+        # ring's rolled (T,P,D) view).
         zeros = lambda d: jnp.zeros((R, d), self.dtype)
-        state["fc1"] = jnp.zeros((R, int(fc1_dim)), self.dtype)
+        state["fc1"] = zeros(int(fc1_dim))
         state.update(
             q1=zeros(dim[0]), k1=zeros(dim[1]),
             fc3s=zeros(fc_feat), q3=zeros(dim[0]), k3=zeros(dim[1]),

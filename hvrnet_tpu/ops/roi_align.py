@@ -22,6 +22,46 @@ import jax
 import jax.numpy as jnp
 
 
+def _sample_coords(feats_shape, rois, out_size, spatial_scale, sample_num):
+    """Per-axis bilinear sample indices/weights — the single home of the
+    CUDA kernel's coordinate conventions (+1 end offset, no half-pixel
+    start, the clamp-at-0 / collapse-at-far-edge rules).  Shared by the
+    forward and the separable adjoint so their conventions can never drift.
+
+    Returns (batch_idx, (y_lo, y_hi, ly, y_in), (x_lo, x_hi, lx, x_in)),
+    each index/weight array (R, out_size·sample_num)."""
+    B, H, W, _ = feats_shape
+    s = out_size
+    sn = sample_num
+    batch_idx = rois[:, 0].astype(jnp.int32)
+    roi_start_w = rois[:, 1] * spatial_scale
+    roi_start_h = rois[:, 2] * spatial_scale
+    roi_end_w = (rois[:, 3] + 1.0) * spatial_scale
+    roi_end_h = (rois[:, 4] + 1.0) * spatial_scale
+    bin_w = jnp.maximum(roi_end_w - roi_start_w, 0.0) / s
+    bin_h = jnp.maximum(roi_end_h - roi_start_h, 0.0) / s
+
+    # sample coordinates: (R, s*sn) per axis
+    ph = jnp.arange(s, dtype=jnp.float32)
+    iy = (jnp.arange(sn, dtype=jnp.float32) + 0.5) / sn
+    off = (ph[:, None] + iy[None, :]).reshape(-1)  # (s*sn,) bin+frac offsets
+    ys = roi_start_h[:, None] + off[None, :] * bin_h[:, None]  # (R, s*sn)
+    xs = roi_start_w[:, None] + off[None, :] * bin_w[:, None]  # (R, s*sn)
+
+    def interp_axis(v, dim):
+        """Returns (low_idx, high_idx, lerp_weight, inside_mask) per coordinate."""
+        inside = (v >= -1.0) & (v <= dim)
+        v = jnp.maximum(v, 0.0)
+        low = v.astype(jnp.int32)
+        at_edge = low >= dim - 1
+        low = jnp.where(at_edge, dim - 1, low)
+        high = jnp.where(at_edge, dim - 1, low + 1)
+        frac = jnp.where(at_edge, 0.0, v - low.astype(jnp.float32))
+        return low, high, frac, inside
+
+    return batch_idx, interp_axis(ys, H), interp_axis(xs, W)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def roi_align(feats: jnp.ndarray, rois: jnp.ndarray, out_size: int = 7,
               spatial_scale: float = 1.0 / 16.0, sample_num: int = 2) -> jnp.ndarray:
@@ -42,36 +82,8 @@ def roi_align(feats: jnp.ndarray, rois: jnp.ndarray, out_size: int = 7,
     s = out_size
     sn = sample_num
 
-    batch_idx = rois[:, 0].astype(jnp.int32)
-    roi_start_w = rois[:, 1] * spatial_scale
-    roi_start_h = rois[:, 2] * spatial_scale
-    roi_end_w = (rois[:, 3] + 1.0) * spatial_scale
-    roi_end_h = (rois[:, 4] + 1.0) * spatial_scale
-    roi_w = jnp.maximum(roi_end_w - roi_start_w, 0.0)
-    roi_h = jnp.maximum(roi_end_h - roi_start_h, 0.0)
-    bin_w = roi_w / s
-    bin_h = roi_h / s
-
-    # sample coordinates: (R, s*sn) per axis
-    ph = jnp.arange(s, dtype=jnp.float32)
-    iy = (jnp.arange(sn, dtype=jnp.float32) + 0.5) / sn
-    off = (ph[:, None] + iy[None, :]).reshape(-1)  # (s*sn,) bin+frac offsets
-    ys = roi_start_h[:, None] + off[None, :] * bin_h[:, None]  # (R, s*sn)
-    xs = roi_start_w[:, None] + off[None, :] * bin_w[:, None]  # (R, s*sn)
-
-    def interp_axis(v, dim):
-        """Returns (low_idx, high_idx, lerp_weight, inside_mask) per coordinate."""
-        inside = (v >= -1.0) & (v <= dim)
-        v = jnp.maximum(v, 0.0)
-        low = v.astype(jnp.int32)
-        at_edge = low >= dim - 1
-        low = jnp.where(at_edge, dim - 1, low)
-        high = jnp.where(at_edge, dim - 1, low + 1)
-        frac = jnp.where(at_edge, 0.0, v - low.astype(jnp.float32))
-        return low, high, frac, inside
-
-    y_lo, y_hi, ly, y_in = interp_axis(ys, H)
-    x_lo, x_hi, lx, x_in = interp_axis(xs, W)
+    batch_idx, (y_lo, y_hi, ly, y_in), (x_lo, x_hi, lx, x_in) = \
+        _sample_coords(feats.shape, rois, out_size, spatial_scale, sample_num)
     hy, hx = 1.0 - ly, 1.0 - lx
 
     if B == 1:
@@ -146,28 +158,10 @@ def _sep_pooled_weights(feats_shape, rois, out_size, spatial_scale,
     sample row touches exactly one image) and wx (R, s, W).  The bilinear
     kernel factorizes wy·wx and pooling is linear, so
     pooled = Wy @ feats @ Wxᵀ and the adjoint is two more contractions."""
-    B, H, W, C = feats_shape
+    B, H, W, _ = feats_shape
     s, sn = out_size, sample_num
-    batch_idx = rois[:, 0].astype(jnp.int32)
-    roi_start_w = rois[:, 1] * spatial_scale
-    roi_start_h = rois[:, 2] * spatial_scale
-    bin_w = jnp.maximum((rois[:, 3] + 1.0) * spatial_scale - roi_start_w, 0.0) / s
-    bin_h = jnp.maximum((rois[:, 4] + 1.0) * spatial_scale - roi_start_h, 0.0) / s
-    ph = jnp.arange(s, dtype=jnp.float32)
-    frac = (jnp.arange(sn, dtype=jnp.float32) + 0.5) / sn
-    off = (ph[:, None] + frac[None, :]).reshape(-1)
-    ys = roi_start_h[:, None] + off[None, :] * bin_h[:, None]   # (R, s·sn)
-    xs = roi_start_w[:, None] + off[None, :] * bin_w[:, None]
-
-    def interp_axis(v, dim):
-        inside = (v >= -1.0) & (v <= dim)
-        v = jnp.maximum(v, 0.0)
-        low = v.astype(jnp.int32)
-        at_edge = low >= dim - 1
-        low = jnp.where(at_edge, dim - 1, low)
-        high = jnp.where(at_edge, dim - 1, low + 1)
-        fracv = jnp.where(at_edge, 0.0, v - low.astype(jnp.float32))
-        return low, high, fracv, inside
+    batch_idx, (y_lo, y_hi, ly, y_in), (x_lo, x_hi, lx, x_in) = \
+        _sample_coords(feats_shape, rois, out_size, spatial_scale, sample_num)
 
     def weights(lo, hi, fr, inside, dim, offs):
         ar = jnp.arange(dim)
@@ -178,8 +172,6 @@ def _sep_pooled_weights(feats_shape, rois, out_size, spatial_scale,
         w = w * inside[..., None].astype(jnp.float32)     # (R, s·sn, dim)
         return w.reshape(w.shape[0], s, sn, dim).mean(axis=2)
 
-    y_lo, y_hi, ly, y_in = interp_axis(ys, H)
-    x_lo, x_hi, lx, x_in = interp_axis(xs, W)
     wy = weights(y_lo, y_hi, ly, y_in, B * H, (batch_idx * H)[:, None])
     wx = weights(x_lo, x_hi, lx, x_in, W, 0)
     return wy, wx

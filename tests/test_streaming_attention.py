@@ -82,6 +82,73 @@ def test_streaming_matches_direct_over_slides(seed, logit_scale, tol):
                                    err_msg=f"step {step}")
 
 
+@pytest.mark.parametrize("seed, logit_scale", [(0, 1.0), (1, 1.0), (2, 2.0)])
+def test_slide_equals_evict_then_insert(seed, logit_scale):
+    """`slide` (the fused one-pass update both stream_update and
+    stream_forward now use) must match the evict→insert composition it
+    replaced, including masked keys, the −inf empty-row anchor, and the
+    adversarial cancellation regime (logit_scale=2)."""
+    from hvrnet_tpu.ops.streaming_attention import slide
+    R, P, D = 23, 7, 16
+    rng = np.random.default_rng(seed)
+    scale = 1.0 / np.sqrt(D)
+    q = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32) * logit_scale)
+    k_dep = jnp.asarray(rng.normal(size=(P, D)).astype(np.float32) * logit_scale)
+    v_dep = jnp.asarray(rng.normal(size=(P, D)).astype(np.float32))
+    k_new = jnp.asarray(rng.normal(size=(P, D)).astype(np.float32) * logit_scale)
+    v_new = jnp.asarray(rng.normal(size=(P, D)).astype(np.float32))
+    m_dep = jnp.asarray(rng.random(P) > 0.3)
+    m_new = jnp.asarray(rng.random(P) > 0.3)
+    # accumulators holding the departing keys (plus background mass)
+    k_bg = jnp.asarray(rng.normal(size=(P, D)).astype(np.float32) * logit_scale)
+    v_bg = jnp.asarray(rng.normal(size=(P, D)).astype(np.float32))
+    acc = init_rows(q, jnp.concatenate([k_dep, k_bg]),
+                    jnp.concatenate([v_dep, v_bg]),
+                    jnp.concatenate([m_dep, jnp.ones((P,), bool)]), scale)
+
+    ref = evict(dict(acc), q, k_dep, v_dep, m_dep, scale)
+    ref, ref_col = insert(ref, q, k_new, v_new, m_new, scale)
+    got, got_col = slide(dict(acc), q, k_dep, v_dep, m_dep,
+                         k_new, v_new, m_new, scale)
+    np.testing.assert_allclose(np.asarray(got_col), np.asarray(ref_col))
+    for key in ("m", "l", "a"):
+        np.testing.assert_allclose(np.asarray(got[key]), np.asarray(ref[key]),
+                                   rtol=2e-6, atol=2e-6, err_msg=key)
+    # finalized outputs also match a from-scratch softmax over the live set
+    k_live = jnp.concatenate([k_new, k_bg])
+    v_live = jnp.concatenate([v_new, v_bg])
+    m_live = jnp.concatenate([m_new, jnp.ones((P,), bool)])
+    want = direct(np.asarray(q), np.asarray(k_live), np.asarray(v_live),
+                  np.asarray(m_live), scale)
+    np.testing.assert_allclose(np.asarray(finalize(got)), want,
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_slide_from_empty_rows_matches_insert_only():
+    """The prefill case: rows whose accumulators are empty (m = −inf,
+    l = a = 0) slide with an all-False departing mask — the fused pass must
+    hit the neginf anchor guard (no NaNs) and equal a pure insert."""
+    from hvrnet_tpu.ops.streaming_attention import slide
+    R, P, D = 11, 7, 16
+    rng = np.random.default_rng(3)
+    scale = 1.0 / np.sqrt(D)
+    q = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    k_dep = jnp.asarray(rng.normal(size=(P, D)).astype(np.float32))
+    v_dep = jnp.asarray(rng.normal(size=(P, D)).astype(np.float32))
+    k_new = jnp.asarray(rng.normal(size=(P, D)).astype(np.float32))
+    v_new = jnp.asarray(rng.normal(size=(P, D)).astype(np.float32))
+    m_new = jnp.asarray(rng.random(P) > 0.3)
+    acc = acc_init(R, D)
+    got, _ = slide(dict(acc), q, k_dep, v_dep, jnp.zeros((P,), bool),
+                   k_new, v_new, m_new, scale)
+    ref, _ = insert(acc_init(R, D), q, k_new, v_new, m_new, scale)
+    for key in ("m", "l", "a"):
+        arr = np.asarray(got[key])
+        assert not np.any(np.isnan(arr)), key
+        np.testing.assert_allclose(arr, np.asarray(ref[key]),
+                                   rtol=1e-6, atol=1e-6, err_msg=key)
+
+
 def test_repair_recovers_underflowed_mass():
     """When a hugely dominant key departs, every other contribution has
     underflowed under the high anchor and the row's mass collapses — the

@@ -19,27 +19,17 @@ import numpy as np
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
-def make_batch(rng, frames, h, w, gmax=6):
-    """One training sample (leading batch axis 1) in the trainer's layout —
-    the same keys tests/test_train_step.py:make_sample feeds."""
-    imgs = rng.normal(size=(frames, h, w, 3)).astype(np.float32)
-    gt = np.zeros((frames, gmax, 4), np.float32)
-    gm = np.zeros((frames, gmax), bool)
-    gl = np.zeros((frames, gmax), np.int64)
-    for f in range(frames):
-        n = int(rng.integers(1, gmax + 1))
-        for g in range(n):
-            x1 = rng.uniform(0, w - 300)
-            y1 = rng.uniform(0, h - 300)
-            gt[f, g] = [x1, y1, x1 + rng.uniform(32, 256),
-                        y1 + rng.uniform(32, 256)]
-            gm[f, g] = True
-            gl[f, g] = rng.integers(1, 31)
-    return dict(
-        imgs=imgs[None], gt_bboxes=gt[None], gt_labels=gl[None],
-        gt_mask=gm[None],
-        img_shape=np.tile([600.0, 1000.0], (1, frames, 1)).astype(np.float32),
-        pad_shape=np.tile([float(h), float(w)], (1, frames, 1)).astype(np.float32))
+def make_batch(rng, frames, h, w):
+    """One training sample in the trainer's layout — reuses the canonical
+    fixture (tests/test_train_step.py:make_sample) so the probe can never
+    drift from the batch contract the tests pin down."""
+    import importlib.util
+    root = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "_train_step_fixture", osp.join(root, "tests", "test_train_step.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.make_sample(rng, frames, h=h, w=w)
 
 
 def main():
