@@ -127,8 +127,10 @@ def slide(acc: Dict, q: jnp.ndarray,
     weights are taken against the OLD anchor and the combined rescale is
     applied once — but the (R, D) accumulator is read and written a single
     time instead of twice (the a-array is 25.8 MB f32 at the 21×300 point;
-    the fused form saves two full HBM passes per block per step).
-    Returns (acc, col_max) like `insert`.
+    77 MB at 63×300).  XLA fuses this expression to ~HBM roofline (94 µs at
+    21×300 on v5e, chained measurement); a hand-written Pallas version was
+    only ~17% faster at its best tile and not worth the platform divergence
+    (BASELINE.md round 3).  Returns (acc, col_max) like `insert`.
     """
     s_dep = _logits(q, k_dep, scale)                      # (R, P)
     w = jnp.where(mask_dep[None, :],
