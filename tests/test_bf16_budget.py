@@ -145,16 +145,22 @@ def test_selsa_bf16_budget_trained(mini_vid):  # noqa: F811
 def test_hvrnet_bf16_budget_random():
     """HRNMP 4-block head numeric drift, random weights.
 
-    With random weights the multiclass scores are near-uniform ties, so the
-    post-NMS pick ORDER is not a meaningful drift metric (a 1e-3 score flip
-    swaps unrelated boxes).  Instead this bounds the pre-NMS decoded output
-    of the full 4-block test graph — identical f32 inputs through both
-    dtypes' window bodies (``decode=False``, the same graph the fused
-    ring_step decodes on device) — which is exactly the bf16 compute error.
+    With random weights the multiclass scores are near-uniform ties, so any
+    POST-softmax / post-decode quantity is chaotic: a 1e-3 logit flip swaps
+    unrelated near-tie classes, and even the f32 proposal SET feeding the
+    head shifts whenever an upstream lowering changes reduction order (the
+    first version of this test compared decoded boxes downstream of the f32
+    RPN NMS picks and regressed from 2.5 to 39 px when the fused s2d stem
+    changed the f32 path by one ulp — pure input-selection chaos, no bf16
+    accuracy change).  This version bounds what bf16 compute actually
+    controls: the RAW head outputs (cls logits, reg deltas) of the full
+    4-block test graph on FIXED synthetic inputs, f32 vs bf16.  It guards
+    order-of-magnitude regressions (e.g. an f32 accumulation lost to a bf16
+    cast); the TRAINED end-to-end budget above is the meaningful detection
+    bound.
     """
     from hvrnet_tpu.engine import HNMBRCNN
     from tests.test_engine_hnmb import tiny_hnmb_cfg
-    from tests.test_engine_selsa import synthetic_stream
 
     model_cfg, test_cfg = tiny_hnmb_cfg()
     eng32 = HNMBRCNN(model_cfg, None, test_cfg, dtype=jnp.float32)
@@ -162,32 +168,39 @@ def test_hvrnet_bf16_budget_random():
     params = eng32.init_params(jax.random.PRNGKey(0))
     params16 = eng16.cast_head_params_bf16(params)
 
-    frames = list(synthetic_stream(3))
-    feats = [eng32.frame_features(params, f["img"], f["img_shape"],
-                                  f["pad_shape"]) for f in frames]
-    fc1 = jnp.stack([f["fc1"] for f in feats])
-    boxes = jnp.stack([f["boxes"] for f in feats])
-    masks = jnp.stack([f["mask"] for f in feats])
-    ish = jnp.asarray(frames[1]["img_shape"], jnp.float32)
-    sf = jnp.asarray(frames[1]["scale_factor"], jnp.float32)
+    T = eng32.window
+    P = eng32.proposal_num
+    D = int(model_cfg["bbox_head"].get("fc_feat_dim", 1024))
+    rng = np.random.default_rng(7)
+    fc1 = jnp.asarray(rng.normal(size=(T * P, D)).astype(np.float32))
+    masks = jnp.asarray(rng.random((T, P)) > 0.1)
 
-    pairs32, _ = eng32._window_body(3, 1, decode=False)(
-        params, fc1, boxes, masks, ish, sf)
-    pairs16, _ = eng16._window_body(3, 1, decode=False)(
-        params16, fc1.astype(jnp.bfloat16), boxes, masks, ish, sf)
+    def head(eng, p, fc1_in):
+        mod = eng.module
+        return jax.jit(lambda pp, x: mod.apply(
+            pp, x, P, P, masks.reshape(-1),
+            method=mod.bbox_forward_fc1))(p, fc1_in)
 
-    box_px = score_d = 0.0
-    for (bb32, sc32), (bb16, sc16) in zip(pairs32, pairs16):
-        box_px = max(box_px, float(jnp.max(jnp.abs(
-            bb16.astype(jnp.float32) - bb32))))
-        score_d = max(score_d, float(jnp.max(jnp.abs(
-            sc16.astype(jnp.float32) - sc32))))
-    print(f"\nHVRNet random bf16 budget (pre-NMS, {len(pairs32)} branches): "
-          f"max|Δbox|={box_px:.3f}px max|Δscore|={score_d:.4f}")
-    # measured 2.47px / 0.061 (2026-08-17, CPU mesh): random weights put all
-    # 31 classes in a near-tie, so softmax amplifies the 4-block logit drift —
-    # the TRAINED budget above (Δscore ≤ 0.05, ΔmAP ≤ 0.05) is the meaningful
-    # bound; this one guards order-of-magnitude regressions (e.g. an f32
-    # accumulation lost to a bf16 cast)
-    assert box_px <= 4.0
-    assert score_d <= 0.12
+    cls32, reg32 = head(eng32, params, fc1)
+    cls16, reg16 = head(eng16, params16, fc1.astype(jnp.bfloat16))
+
+    def drift(a, b):
+        return float(jnp.max(jnp.abs(jnp.asarray(a, jnp.float32)
+                                     - jnp.asarray(b, jnp.float32))))
+
+    cls_d = max(drift(a, b) for a, b in zip(
+        cls32 if isinstance(cls32, (list, tuple)) else [cls32],
+        cls16 if isinstance(cls16, (list, tuple)) else [cls16]))
+    reg_d = max(drift(a, b) for a, b in zip(
+        reg32 if isinstance(reg32, (list, tuple)) else [reg32],
+        reg16 if isinstance(reg16, (list, tuple)) else [reg16]))
+    scale32 = max(float(jnp.max(jnp.abs(jnp.asarray(a, jnp.float32))))
+                  for a in (cls32 if isinstance(cls32, (list, tuple))
+                            else [cls32]))
+    print(f"\nHVRNet random bf16 budget (raw head outputs): "
+          f"max|Δlogit|={cls_d:.4f} (scale {scale32:.2f}) "
+          f"max|Δreg|={reg_d:.5f}")
+    # bf16 relative error through the 4-block graph is ~1e-2; a lost f32
+    # accumulation shows up as drift comparable to the logit scale itself
+    assert cls_d <= 0.05 * max(scale32, 1.0)
+    assert reg_d <= 0.05
