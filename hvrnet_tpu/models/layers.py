@@ -142,7 +142,17 @@ class StemBlock(nn.Module):
     Exact vs the plain path up to reduction order (verified ≤ 1 bf16 ulp /
     2.4e-6 f32 at 608×1008).  Falls back to the plain conv+pool for inputs
     not divisible by 4 (canvases are ÷16, so the fast path always runs in
-    practice).  Saves ~0.7 ms/frame on v5e."""
+    practice).
+
+    Honest accounting (per-op xplane trace, the trustworthy source on this
+    tenancy-noisy relay — BASELINE.md round 3): the conv work drops 0.77 →
+    0.12 ms/frame, but XLA spends what it saved on input layout changes
+    (the s2d transpose of the awkward 3-channel image), so whole-backbone
+    module time is NET NEUTRAL on v5e at 608×1008 (2.71 → 2.81 ms under
+    trace conditions).  Kept because the MXU work is genuinely 6× lower —
+    wherever XLA's layout assignment improves or the input arrives
+    pre-blocked, the win materializes — and the form is exact and tested
+    either way."""
     dtype: Dtype = jnp.float32
 
     @nn.compact

@@ -69,14 +69,36 @@ def main():
     branch = -1 if getattr(engine, "multi_branch", False) else None
     n = args.iters
 
+    # every dispatch carries DISTINCT arguments (a numerically-invisible
+    # perturbation chained through each iteration) so the loop exercises
+    # buffer allocation like the real runner; note chained fresh-buffer
+    # loops show a slow first window on this relay (allocator churn — see
+    # BASELINE.md's measurement-methodology audit), which the best-of-3
+    # interleaved windows below absorb.
     backbone = engine._frame_backbone_fn(H, W)
-    t_a = timed(backbone, n, params, img)
-    print(f"A backbone+RPN maps: {t_a:.2f} ms", flush=True)
+    chain = jax.jit(lambda im, c5: im + c5[0, 0, 0, 0].astype(jnp.float32)
+                    * 1e-30)
 
-    t_ab = timed(lambda p, im: engine.frame_features(p, im, ish, psh),
-                 n, params, img)
-    print(f"A+B frame_features:  {t_ab:.2f} ms  (B ≈ {t_ab - t_a:.2f})",
-          flush=True)
+    def bb_chained(p, im):
+        c5, cm, rm = backbone(p, im)
+        return chain(im, c5)
+
+    def timed_chained(fn, n, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = 1e9
+        for _ in range(3):
+            o = args[-1]
+            t0 = time.perf_counter()
+            for _ in range(n):
+                o = fn(*args[:-1], o)
+            jax.block_until_ready(o)
+            best = min(best, (time.perf_counter() - t0) / n * 1e3)
+        return best
+
+    def ab_chained(p, im):
+        f = engine.frame_features(p, im, ish, psh)
+        return chain(im, f["fc1"][None, None])
 
     feats = engine.frame_features(params, img, ish, psh)
     state = engine.ring_reset(int(feats["fc1"].shape[-1]))
@@ -87,18 +109,45 @@ def main():
         st, out = engine.ring_step(p, st, f, ishd, sf, branch=branch)
         return st, out
 
-    # ring_step threads state; feed it through so slides are real
+    # warm/compile every phase first
+    o = bb_chained(params, img)
+    jax.block_until_ready(o)
+    o = ab_chained(params, img)
+    jax.block_until_ready(o)
     st, out = ring(params, state, feats)
     jax.block_until_ready(out)
-    best = 1e9
+
+    # INTERLEAVED windows: tenancy on the shared tunnel swings several-fold
+    # over minutes, so each repetition measures all three phases
+    # back-to-back and the per-phase best is taken across repetitions â
+    # relative comparisons stay tenancy-controlled
+    t_a = t_ab = t_c = 1e9
     for _ in range(3):
+        o = img
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o = bb_chained(params, o)
+        jax.block_until_ready(o)
+        t_a = min(t_a, (time.perf_counter() - t0) / n * 1e3)
+
+        o = img
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o = ab_chained(params, o)
+        jax.block_until_ready(o)
+        t_ab = min(t_ab, (time.perf_counter() - t0) / n * 1e3)
+
         t0 = time.perf_counter()
         for _ in range(n):
             st, out = ring(params, st, feats)
         jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / n * 1e3)
-    print(f"C ring_step:         {best:.2f} ms", flush=True)
-    total = t_ab + best
+        t_c = min(t_c, (time.perf_counter() - t0) / n * 1e3)
+
+    print(f"A backbone+RPN maps: {t_a:.2f} ms", flush=True)
+    print(f"A+B frame_features:  {t_ab:.2f} ms  (B ≈ {t_ab - t_a:.2f})",
+          flush=True)
+    print(f"C ring_step:         {t_c:.2f} ms", flush=True)
+    total = t_ab + t_c
     print(f"whole frame (A+B+C): {total:.2f} ms  ({1e3 / total:.1f} fps)",
           flush=True)
 
