@@ -162,9 +162,9 @@ def main():
     ap.add_argument("--stream", action="store_true", default=None,
                     help="streaming-softmax ring (the hvrnet default: "
                          "equality-tested vs the exact ring and faster at "
-                         "every window — 152.7 vs 127.3 fps at t_dim 21, "
-                         "80.6 vs 37.0 at the 63-frame point; --exact "
-                         "forces the full-window recompute)")
+                         "every window — 113 vs 43 fps at the 63-frame "
+                         "point, round 3; --exact forces the full-window "
+                         "recompute)")
     ap.add_argument("--exact", dest="stream", action="store_false")
     args = ap.parse_args()
     if args.stream is None:

@@ -939,6 +939,8 @@ class HNMBRCNN(_RingMixin, BaseEngine):
         if not self.stream:
             return super().ring_detect(params, state, img_shape, scale_factor,
                                        key_dim, branch)
+        assert not getattr(self, "multi_pass", None), \
+            "streaming ring does not support multi_pass; use stream=False"
         fn = self._stream_detect_fn(
             self.window, self.key_dim if key_dim is None else key_dim, branch)
         return fn(self._bb(params), state, _dev_f32(img_shape),
@@ -972,6 +974,11 @@ class HNMBRCNN(_RingMixin, BaseEngine):
         if not self.stream:
             return super().ring_step(params, state, feats, img_shape,
                                      scale_factor, key_dim, branch)
+        # the streaming ring caches the single-pass spliced graph; the
+        # multi-pass test graph must use the exact ring (hnl_test.py guards
+        # the CLI combination — this guards direct engine use)
+        assert not getattr(self, "multi_pass", None), \
+            "streaming ring does not support multi_pass; use stream=False"
         fn = self._stream_step_fn(
             self.window, self.key_dim if key_dim is None else key_dim, branch)
         return fn(self._bb(params), state, feats,
