@@ -9,6 +9,11 @@ K/V re-read count.
 
 Usage: python tools/probe_attention_tiles.py [--nk 18900] [--nq 18900]
 Timing: dispatch N, block once (tunnel rule — CLAUDE.md).
+
+CAVEAT (round 3): absolute readings from this tool have been observed ABOVE
+the chip's peak FLOP rate at small nq even with chained dispatches — treat
+them as RELATIVE tile comparisons only and confirm winners with an xplane
+trace of the real program (BASELINE.md, measurement-methodology audit).
 """
 from __future__ import annotations
 
