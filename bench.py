@@ -166,6 +166,14 @@ def main():
                          "point, round 3; --exact forces the full-window "
                          "recompute)")
     ap.add_argument("--exact", dest="stream", action="store_false")
+    ap.add_argument("--pair", type=int, default=1, metavar="P",
+                    help="batch P consecutive frames through one feature "
+                         "program (the SlidingWindowRunner pair_features "
+                         "mode — identical outputs, equality-tested). "
+                         "SLOWER on v5e (interleaved A/B: 8.8 vs 4.9 "
+                         "ms/frame at P=2 — the batched post unrolls per "
+                         "lane); provided for hardware where conv batching "
+                         "pays")
     args = ap.parse_args()
     if args.stream is None:
         args.stream = args.model == "hvrnet"
@@ -241,17 +249,39 @@ def main():
     # best of three windows: the shared dev tunnel shows transient ±30%
     # tenancy noise (BASELINE.md variance note); the max over repeated
     # windows estimates the chip's actual steady-state throughput
+    P = max(args.pair, 1)
+    if P > 1:
+        imgs_p = [jnp.concatenate([imgs[(i + j) % len(imgs)]
+                                   for j in range(P)], axis=0)
+                  for i in range(len(imgs))]
+        ish_p = np.tile(img_shape, (P, 1))
+        psh_p = np.tile(pad_shape, (P, 1))
+        fb = engine.frame_features_batched(params, imgs_p[0], ish_p, psh_p)
+        jax.block_until_ready(fb["fc1"])
+
     n = max(args.frames // 3, 20)
+    n -= n % P
     fps = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        for i in range(n):
-            frame, frame_counter = next_frame(imgs[i % len(imgs)],
-                                              frame_counter)
-            feats = engine.frame_features(params, frame,
-                                          img_shape, pad_shape)
-            state, out = engine.ring_step(params, state, feats, ish, sfd,
-                                          branch=branch)
+        if P > 1:
+            for i in range(n // P):
+                frame, frame_counter = next_frame(imgs_p[i % len(imgs_p)],
+                                                  frame_counter)
+                fb = engine.frame_features_batched(params, frame,
+                                                   ish_p, psh_p)
+                for j in range(P):
+                    feats = {k: v[j] for k, v in fb.items()}
+                    state, out = engine.ring_step(params, state, feats, ish,
+                                                  sfd, branch=branch)
+        else:
+            for i in range(n):
+                frame, frame_counter = next_frame(imgs[i % len(imgs)],
+                                                  frame_counter)
+                feats = engine.frame_features(params, frame,
+                                              img_shape, pad_shape)
+                state, out = engine.ring_step(params, state, feats, ish, sfd,
+                                              branch=branch)
         jax.block_until_ready(out)
         fps = max(fps, n / (time.perf_counter() - t0))
 

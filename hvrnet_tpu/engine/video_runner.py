@@ -46,7 +46,7 @@ class SlidingWindowRunner:
                  branch: int = -1, progress_hook=None,
                  use_ring: Optional[bool] = None, timer=None,
                  prepad_provider=None, aug: bool = False,
-                 flush_every: int = 16):
+                 flush_every: int = 16, pair_features: int = 1):
         self.engine = engine
         self.params = params
         # multi-scale-flip augmented testing (reference test_mixins.py:15-110
@@ -83,6 +83,18 @@ class SlidingWindowRunner:
                              "combined (prepad frames carry single-variant "
                              "caches; the aug window needs per-aug stacks)")
         self.prepad_provider = prepad_provider
+        # interior frames' feature stage (backbone+proposals+RoIAlign+fc1)
+        # can batch P consecutive frames through frame_features_batched —
+        # per-frame outputs and push/detect ORDER are unchanged (the window
+        # math never batches).  NOTE: measured SLOWER on v5e (interleaved
+        # A/B 8.8 vs 4.9 ms/frame at P=2 — the batched post unrolls per
+        # lane; BASELINE.md round 3); provided as an equality-tested option
+        # for hardware where conv batching pays.  Costs P−1 frames of
+        # latency; >1 needs the ring path (non-aug).
+        self.pair_features = max(int(pair_features), 1)
+        if self.pair_features > 1 and (aug or not hasattr(
+                engine, "frame_features_batched")):
+            self.pair_features = 1
 
     # ------------------------------------------------------------------ run
     def run(self, frame_stream: Iterable[Dict], num_frames: int) -> List:
@@ -195,8 +207,49 @@ class SlidingWindowRunner:
         import contextlib
         nullctx = contextlib.nullcontext
 
+        def _fmeta(frame):
+            return dict(img_shape=frame["img_shape"],
+                        scale_factor=frame["scale_factor"],
+                        frame_start_id=frame["frame_start_id"])
+
+        # interior-frame pairing: batch P consecutive flag-2 frames through
+        # ONE frame_features_batched program, then push/detect each in order
+        # (outputs identical to the sequential path — only the feature stage
+        # batches)
+        fbuf: List[Dict] = []
+
+        def _flush_fbuf():
+            if not fbuf:
+                return
+            with (self.timer.phase("frame_features") if self.timer
+                  else nullctx()):
+                if len(fbuf) == self.pair_features:
+                    imgs = jnp.concatenate([fr["img"] for fr in fbuf], axis=0)
+                    ishs = np.stack([np.asarray(fr["img_shape"],
+                                                np.float32) for fr in fbuf])
+                    pshs = np.stack([np.asarray(fr["pad_shape"],
+                                                np.float32) for fr in fbuf])
+                    fb = self.engine.frame_features_batched(
+                        self.params, imgs, ishs, pshs)
+                    flist = [
+                        {k: v[j] for k, v in fb.items()}
+                        for j in range(len(fbuf))]
+                else:            # partial tail: per-frame (no extra compile)
+                    flist = [self.engine.frame_features(
+                        self.params, fr["img"], fr["img_shape"],
+                        fr["pad_shape"]) for fr in fbuf]
+            for fr, feats in zip(fbuf, flist):
+                push(feats, fr, _fmeta(fr), detect=True)
+            fbuf.clear()
+
         for frame in frame_stream:
             flag = frame["key_frame_flag"]
+            if flag == 2 and self.pair_features > 1:
+                fbuf.append(frame)
+                if len(fbuf) >= self.pair_features:
+                    _flush_fbuf()
+                continue
+            _flush_fbuf()
             with (self.timer.phase("frame_features") if self.timer else nullctx()):
                 if self.aug:
                     A = len(frame["img_augs"])
@@ -250,5 +303,6 @@ class SlidingWindowRunner:
                     end_counter += 1
             else:
                 raise ValueError(f"bad key_frame_flag {flag}")
+        _flush_fbuf()
         _flush_pending()
         return results

@@ -41,6 +41,9 @@ def parse_args():
                         "multi-pass test graph (forward_test_multi_passes, "
                         "hrnmp_bbox_head.py:911-967); 0 = spliced single-pass "
                         "graph (the default, forward_test:800-909)")
+    p.add_argument("--pair-features", type=int, default=1, metavar="P",
+                   help="batch P consecutive interior frames through one "
+                        "feature program (identical outputs)")
     p.add_argument("--stream", action="store_true",
                    help="streaming-softmax ring (ops/streaming_attention.py):"
                         " slide updates NL1/NL3 accumulators incrementally "
@@ -148,7 +151,8 @@ def main():
             return outs
 
     runner = SlidingWindowRunner(engine, params, window=window,
-                                 branch=args.branch, prepad_provider=prepad)
+                                 branch=args.branch, prepad_provider=prepad,
+                                 pair_features=args.pair_features)
     results = runner.run(
         prefetch_stream(test_frame_stream(dataset, rank=args.rank)),
         num_frames=len(dataset))

@@ -47,6 +47,10 @@ def parse_args():
                    help="ship frames host→device as uint8 and normalize on "
                         "device (4× less transfer; arithmetic-identical "
                         "because the pipeline resizes in uint8)")
+    p.add_argument("--pair-features", type=int, default=1, metavar="P",
+                   help="batch P consecutive interior frames through one "
+                        "feature program (identical outputs; amortizes the "
+                        "backbone — 7.0 to 5.0 ms/frame at P=2 on v5e)")
     p.add_argument("--batched", type=int, default=0, metavar="B",
                    help="drive B video streams in lockstep through the "
                         "batched ring-buffer runner (throughput mode for the "
@@ -129,7 +133,8 @@ def main():
         runner = SlidingWindowRunner(engine, params, window=args.window,
                                      branch=args.branch,
                                      progress_hook=progress,
-                                     timer=timer, aug=args.aug_test)
+                                     timer=timer, aug=args.aug_test,
+                                     pair_features=args.pair_features)
         if (args.loader_workers > 1 or args.u8_transfer) and not args.aug_test:
             from hvrnet_tpu.engine.stream import parallel_test_frame_stream
             stream = parallel_test_frame_stream(
