@@ -287,10 +287,13 @@ HNL_CFG = TINY_CFG.replace("type='SelsaRCNN'", "type='HNMBRCNN'").replace(
     "type='SelsaBBoxHead'", "type='HRNMPBBoxHead'")
 
 
-@pytest.mark.parametrize("extra", [[], ["--multi-pass", "3"]])
+@pytest.mark.parametrize("extra", [[], ["--multi-pass", "3"],
+                                   ["--stream"],
+                                   ["--pair-features", "2"]])
 def test_hnl_test_cli(mini_vid, tmp_path, extra):  # noqa: F811
     """tools/hnl_test.py end to end (repeat pre-padding so the window math is
-    deterministic), with and without the multi-pass head graph."""
+    deterministic): default exact ring, the multi-pass head graph, the
+    streaming-softmax ring (the bench default), and paired features."""
     cfg_path = str(tmp_path / "tiny_hnl_cfg.py")
     with open(cfg_path, "w") as f:
         f.write(HNL_CFG.format(root=mini_vid))
