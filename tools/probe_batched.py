@@ -54,7 +54,10 @@ def main():
     branch = -1 if getattr(engine, "multi_branch", False) else None
     n = args.frames
 
-    # ---- sequential reference ------------------------------------------
+    # INTERLEAVED windows (CLAUDE.md measurement rules): tenancy on the
+    # shared tunnel swings several-fold over minutes, so each repetition
+    # measures the sequential path and every batch size back-to-back and
+    # the per-variant best is taken across repetitions.
     img = jnp.asarray(img1)
     ish = jnp.asarray(ish1)
     sfd = jnp.asarray(sf1)
@@ -65,7 +68,28 @@ def main():
     state, out = engine.ring_step(params, state, feats, ish, sfd,
                                   branch=branch)
     jax.block_until_ready(out)
+
+    bstates = {}
+    binputs = {}
+    for B in args.batches:
+        imgs = jnp.asarray(np.broadcast_to(img1[0], (B, H, W, 3)).copy())
+        ishs = np.broadcast_to(ish1, (B, 2)).copy()
+        pshs = np.broadcast_to(psh1, (B, 2)).copy()
+        sfs = np.broadcast_to(sf1, (B, 4)).copy()
+        resets = jnp.zeros(B, bool)
+        fb = engine.frame_features_batched(params, imgs, ishs, pshs)
+        bstate = engine.ring_reset_batched(B, int(fb["fc1"].shape[-1]))
+        for _ in range(engine.window):
+            bstate = engine.ring_push_batched(bstate, fb, resets)
+        out = engine.ring_detect_batched(params, bstate, ishs, sfs)
+        if isinstance(out, list):
+            out = out[-1]
+        jax.block_until_ready(out)
+        bstates[B] = bstate
+        binputs[B] = (imgs, ishs, pshs, sfs, resets)
+
     seq = 1e9
+    best = {B: 1e9 for B in args.batches}
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(n):
@@ -74,41 +98,28 @@ def main():
                                           branch=branch)
         jax.block_until_ready(out)
         seq = min(seq, (time.perf_counter() - t0) / n * 1e3)
-    print(f"sequential: {seq:.2f} ms/frame ({1e3 / seq:.1f} fps)",
-          flush=True)
-
-    # ---- batched lockstep path ------------------------------------------
-    for B in args.batches:
-        imgs = jnp.asarray(np.broadcast_to(img1[0], (B, H, W, 3)).copy())
-        ishs = np.broadcast_to(ish1, (B, 2)).copy()
-        pshs = np.broadcast_to(psh1, (B, 2)).copy()
-        sfs = np.broadcast_to(sf1, (B, 4)).copy()
-        resets = jnp.zeros(B, bool)
-
-        feats = engine.frame_features_batched(params, imgs, ishs, pshs)
-        bstate = engine.ring_reset_batched(B, int(feats["fc1"].shape[-1]))
-        for _ in range(engine.window):
-            bstate = engine.ring_push_batched(bstate, feats, resets)
-        out = engine.ring_detect_batched(params, bstate, ishs, sfs)
-        if isinstance(out, list):
-            out = out[-1]
-        jax.block_until_ready(out)
-
-        steps = max(n // B, 10)
-        best = 1e9
-        for _ in range(3):
+        for B in args.batches:
+            imgs, ishs, pshs, sfs, resets = binputs[B]
+            bstate = bstates[B]
+            steps = max(n // B, 10)
             t0 = time.perf_counter()
             for _ in range(steps):
-                feats = engine.frame_features_batched(params, imgs, ishs,
-                                                      pshs)
-                bstate = engine.ring_push_batched(bstate, feats, resets)
+                fb = engine.frame_features_batched(params, imgs, ishs, pshs)
+                bstate = engine.ring_push_batched(bstate, fb, resets)
                 out = engine.ring_detect_batched(params, bstate, ishs, sfs)
                 if isinstance(out, list):
                     out = out[-1]
             jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / (steps * B) * 1e3)
-        print(f"batched B={B}: {best:.2f} ms/frame ({1e3 / best:.1f} fps, "
-              f"{seq / best:.2f}x sequential)", flush=True)
+            bstates[B] = bstate
+            best[B] = min(best[B], (time.perf_counter() - t0)
+                          / (steps * B) * 1e3)
+
+    print(f"sequential: {seq:.2f} ms/frame ({1e3 / seq:.1f} fps)",
+          flush=True)
+    for B in args.batches:
+        print(f"batched B={B}: {best[B]:.2f} ms/frame "
+              f"({1e3 / best[B]:.1f} fps, {seq / best[B]:.2f}x sequential)",
+              flush=True)
 
 
 if __name__ == "__main__":
