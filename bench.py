@@ -260,7 +260,7 @@ def main():
         jax.block_until_ready(fb["fc1"])
 
     n = max(args.frames // 3, 20)
-    n -= n % P
+    n = max(n - n % P, P)          # never round the window down to zero
     fps = 0.0
     for _ in range(3):
         t0 = time.perf_counter()

@@ -900,10 +900,22 @@ class HNMBRCNN(_RingMixin, BaseEngine):
 
         return jax.jit(fn, donate_argnums=(1,))
 
+    def _check_stream_no_multipass(self):
+        """The streaming ring caches the single-pass spliced graph; the
+        multi-pass test graph must use the exact ring (hnl_test.py guards
+        the CLI combination — this guards direct engine use).  A real
+        exception, not an assert: silently serving the wrong graph under
+        ``python -O`` would be a correctness bug."""
+        if getattr(self, "multi_pass", None):
+            raise ValueError("streaming ring does not support multi_pass; "
+                             "use stream=False")
+
     def ring_push(self, state, feats, params=None):
         if not self.stream:
             return self._ring_push_fn(self.window)(state, feats)
-        assert params is not None, "streaming ring_push needs params"
+        self._check_stream_no_multipass()
+        if params is None:
+            raise ValueError("streaming ring_push needs params")
         return self._stream_push_fn(self.window)(self._bb(params), state,
                                                  feats)
 
@@ -939,8 +951,7 @@ class HNMBRCNN(_RingMixin, BaseEngine):
         if not self.stream:
             return super().ring_detect(params, state, img_shape, scale_factor,
                                        key_dim, branch)
-        assert not getattr(self, "multi_pass", None), \
-            "streaming ring does not support multi_pass; use stream=False"
+        self._check_stream_no_multipass()
         fn = self._stream_detect_fn(
             self.window, self.key_dim if key_dim is None else key_dim, branch)
         return fn(self._bb(params), state, _dev_f32(img_shape),
@@ -974,11 +985,7 @@ class HNMBRCNN(_RingMixin, BaseEngine):
         if not self.stream:
             return super().ring_step(params, state, feats, img_shape,
                                      scale_factor, key_dim, branch)
-        # the streaming ring caches the single-pass spliced graph; the
-        # multi-pass test graph must use the exact ring (hnl_test.py guards
-        # the CLI combination — this guards direct engine use)
-        assert not getattr(self, "multi_pass", None), \
-            "streaming ring does not support multi_pass; use stream=False"
+        self._check_stream_no_multipass()
         fn = self._stream_step_fn(
             self.window, self.key_dim if key_dim is None else key_dim, branch)
         return fn(self._bb(params), state, feats,

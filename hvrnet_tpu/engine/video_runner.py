@@ -261,9 +261,7 @@ class SlidingWindowRunner:
                     feats = self.engine.frame_features(
                         self.params, frame["img"], frame["img_shape"],
                         frame["pad_shape"])
-            fmeta = dict(img_shape=frame["img_shape"],
-                         scale_factor=frame["scale_factor"],
-                         frame_start_id=frame["frame_start_id"])
+            fmeta = _fmeta(frame)
             if self.aug:
                 A = len(frame["img_augs"])
                 fmeta.update(img_shapes=[frame["img_shape"]] * A,

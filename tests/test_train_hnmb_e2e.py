@@ -112,12 +112,35 @@ def test_hnmb_recipe_trains_and_keeps_bf16_budget(mini_vid_triplets):
     eng_h.window, eng_h.key_dim = 3, 1
     params_h0 = eng_h.init_params(jax.random.PRNGKey(1))
     params_h = _transplant(params_h0, selsa_trained)
-    # the backbone/shared/rpn and shared head-prefix leaves must carry over
-    n_total = len(jax.tree.leaves(params_h0))
-    n_same = sum(bool((a == b).all()) for a, b in
-                 zip(jax.tree.leaves(params_h), jax.tree.leaves(selsa_trained))
-                 if a.shape == b.shape)
-    assert n_same > 0.4 * n_total, (n_same, n_total)
+
+    # the backbone/rpn/shared-head and the head's shared prefix (fc_new_1)
+    # must carry over: walk COMMON paths (positional zip of tree leaves
+    # would misalign once the HNMB head's extra blocks interleave)
+    def common_equal(dst, src, path=""):
+        n = eq = 0
+        for k, v in dst.items():
+            if k not in src:
+                continue
+            if isinstance(v, dict):
+                a, b = common_equal(v, src[k], path + "/" + str(k))
+                n += a
+                eq += b
+            elif v.shape == src[k].shape:
+                n += 1
+                eq += bool((v == src[k]).all())
+        return n, eq
+
+    n_common, n_eq = common_equal(params_h, selsa_trained)
+    assert n_common > 0 and n_eq == n_common, (n_eq, n_common)
+    inner_h = params_h["params"]
+    inner_s = selsa_trained["params"]
+    for sub in ("backbone", "rpn_head", "shared_head"):
+        n, eq = common_equal(inner_h[sub], inner_s[sub])
+        assert n > 0 and eq == n, (sub, eq, n)
+    # the head prefix shared by both architectures transplants too
+    n, eq = common_equal(inner_h["bbox_head"]["fc_new_1"],
+                         inner_s["bbox_head"]["fc_new_1"])
+    assert n > 0 and eq == n
 
     # ---- stage 3: HNMB triplet training (no-grad backbone/RPN)
     batch_h = {k: np.concatenate([s[k] for s in samples], axis=0)[None]

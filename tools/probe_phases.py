@@ -6,10 +6,11 @@ The whole-frame cost decomposes into three programs (BASELINE.md §MFU):
 * B: proposals NMS + RoIAlign + fc1 (`engine._frame_post_fn` minus A)
 * C: fused ring push + relation head + decode (`engine.ring_step`)
 
-Each phase is measured by dispatching N iterations with the output fed
-nowhere (independent calls XLA can queue back-to-back) and blocking once —
-the tunnel-robust methodology (CLAUDE.md measurement rules).  Phase B is
-reported as (A+B) − A since the post program consumes A's outputs.
+Each phase dispatches N chained iterations (distinct argument buffers each
+call) and blocks once, and the three phases are measured in INTERLEAVED
+windows so tenancy applies to all of them equally — the tunnel-robust
+methodology (CLAUDE.md measurement rules).  Phase B is reported as
+(A+B) − A since the post program consumes A's outputs.
 
 Usage: python tools/probe_phases.py [--model hvrnet] [--iters 100]
 """
@@ -23,20 +24,6 @@ import time
 import numpy as np
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
-
-
-def timed(fn, n, *args):
-    out = fn(*args)           # warm/compile
-    import jax
-    jax.block_until_ready(out)
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / n * 1e3)
-    return best
 
 
 def main():
@@ -83,19 +70,6 @@ def main():
         c5, cm, rm = backbone(p, im)
         return chain(im, c5)
 
-    def timed_chained(fn, n, *args):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = 1e9
-        for _ in range(3):
-            o = args[-1]
-            t0 = time.perf_counter()
-            for _ in range(n):
-                o = fn(*args[:-1], o)
-            jax.block_until_ready(o)
-            best = min(best, (time.perf_counter() - t0) / n * 1e3)
-        return best
-
     def ab_chained(p, im):
         f = engine.frame_features(p, im, ish, psh)
         return chain(im, f["fc1"][None, None])
@@ -119,7 +93,7 @@ def main():
 
     # INTERLEAVED windows: tenancy on the shared tunnel swings several-fold
     # over minutes, so each repetition measures all three phases
-    # back-to-back and the per-phase best is taken across repetitions â
+    # back-to-back and the per-phase best is taken across repetitions —
     # relative comparisons stay tenancy-controlled
     t_a = t_ab = t_c = 1e9
     for _ in range(3):

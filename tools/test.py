@@ -49,8 +49,10 @@ def parse_args():
                         "because the pipeline resizes in uint8)")
     p.add_argument("--pair-features", type=int, default=1, metavar="P",
                    help="batch P consecutive interior frames through one "
-                        "feature program (identical outputs; amortizes the "
-                        "backbone — 7.0 to 5.0 ms/frame at P=2 on v5e)")
+                        "feature program (same detections up to conv-batch "
+                        "reduction-order drift, equality-tested). Measured "
+                        "SLOWER on v5e (8.8 vs 4.9 ms/frame at P=2); for "
+                        "hardware where conv batching pays")
     p.add_argument("--batched", type=int, default=0, metavar="B",
                    help="drive B video streams in lockstep through the "
                         "batched ring-buffer runner (throughput mode for the "
@@ -122,6 +124,10 @@ def main():
         if args.window:   # the batched ring buffers follow engine.window
             engine.window = args.window
             engine.key_dim = (args.window - 1) // 2
+        if args.pair_features > 1:
+            raise SystemExit("--pair-features applies to the sequential "
+                             "runner; --batched already batches the feature "
+                             "stage across streams")
         runner = BatchedSlidingWindowRunner(
             engine, params, batch=args.batched, window=args.window,
             branch=args.branch, progress_hook=progress,

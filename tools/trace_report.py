@@ -28,19 +28,25 @@ for p in xs.planes:
     lines = {l.name: l for l in p.lines}
     if "XLA Modules" not in lines or "XLA Ops" not in lines:
         continue
+    # XEvent offsets are relative to their XLine's timestamp_ns — add the
+    # line bases so module windows and op midpoints share one clock (they
+    # can differ between lines depending on platform/version)
+    mod_base = lines["XLA Modules"].timestamp_ns * 1000
+    op_base = lines["XLA Ops"].timestamp_ns * 1000
     mods = []
     per_mod_time = defaultdict(float)
     per_mod_runs = defaultdict(int)
     for ev in lines["XLA Modules"].events:
         md = p.event_metadata[ev.metadata_id]
-        mods.append((ev.offset_ps, ev.offset_ps + ev.duration_ps, md.name))
+        start = mod_base + ev.offset_ps
+        mods.append((start, start + ev.duration_ps, md.name))
         per_mod_time[md.name] += ev.duration_ps / 1e9
         per_mod_runs[md.name] += 1
     mods.sort()
     per_mod_ops = defaultdict(lambda: defaultdict(float))
     for ev in lines["XLA Ops"].events:
         md = p.event_metadata[ev.metadata_id]
-        mid = ev.offset_ps
+        mid = op_base + ev.offset_ps
         lo, hi = 0, len(mods)
         while lo < hi:
             m = (lo + hi) // 2
