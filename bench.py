@@ -166,6 +166,13 @@ def main():
                          "point, round 3; --exact forces the full-window "
                          "recompute)")
     ap.add_argument("--exact", dest="stream", action="store_false")
+    ap.add_argument("--bind", action="store_true",
+                    help="closure-bind params into the per-frame programs "
+                         "(equality-tested; interleaved A/B on this relay: "
+                         "+0.01 ms/frame — the per-call dispatch saving is "
+                         "hidden by async pipelining — for extra XLA "
+                         "compiles, so off by default; for hosts where "
+                         "dispatch is exposed)")
     ap.add_argument("--pair", type=int, default=1, metavar="P",
                     help="batch P consecutive frames through one feature "
                          "program (the SlidingWindowRunner pair_features "
@@ -195,6 +202,11 @@ def main():
     # would cast them per call; fc_new_1 alone is 205 MB f32)
     params = engine.cast_head_params_bf16(params)
     params = jax.device_put(params, jax.devices()[0])
+    if args.bind:
+        # closure-bind params into the per-frame programs: drops the
+        # param-tree dispatch argument (equality-tested,
+        # tests/test_bind_params.py; see --bind help for the trade-off)
+        engine.bind_params(params)
 
     if args.real_data:
         fps = run_real_data(engine, params, args.frames)

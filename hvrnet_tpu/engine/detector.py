@@ -139,6 +139,10 @@ class BaseEngine:
         # normalize afterwards, so this is arithmetic-identical).
         self.img_norm = dict(mean=(103.06, 115.90, 123.15),
                              std=(1.0, 1.0, 1.0))
+        # opt-in closure-bound steady-state programs (see bind_params)
+        self._bound_params = None
+        self._bind_backbone = False
+        self._bound_fns: Dict[Any, Any] = {}
 
     # ----------------------------------------------------------------- init
     def init_params(self, rng: jax.Array, canvas_hw=(64, 64)):
@@ -170,6 +174,58 @@ class BaseEngine:
         p["params"] = inner
         return p
 
+    # --------------------------------------------- closure-bound dispatch
+    def bind_params(self, params, backbone: bool = False):
+        """Closure-bind ``params`` into the steady-state inference programs.
+
+        Host dispatch cost scales with the argument pytree's leaf count
+        (the full 568-leaf param tree ≈ 0.9 ms/call over the device relay
+        vs ≈ 0.02 ms for closure-bound constants — BASELINE.md round 3).
+        Binding embeds the parameters as compile-time constants: the
+        backbone program drops its full-tree argument and the head-side
+        programs drop their 40-leaf bbox_head subtree.  The programs are
+        otherwise identical (equality-tested, tests/test_bind_params.py).
+
+        The per-frame methods use the bound variant only when called with
+        the *same object* (``params is`` identity), so trainers, parity
+        tests, and any caller holding different params fall back to the
+        regular arg-passing programs untouched.  Each distinct bound params
+        object costs a fresh XLA compile — bind once per checkpoint, not
+        per step; rebinding (or rebuilding the module) drops the previous
+        bound programs.
+
+        ``backbone=True`` also binds the backbone program (the full-tree
+        568-leaf argument).  That bind embeds ~240 MB of conv weights — a
+        several-minute XLA compile for a dispatch that mostly overlaps
+        device compute anyway; head-only binding (the default) captures the
+        wall-clock win at a fraction of the compile cost (BASELINE.md
+        round 3)."""
+        if params is self._bound_params and backbone == self._bind_backbone:
+            return params                  # already bound — keep the compiles
+        self._bound_params = params
+        self._bind_backbone = backbone
+        self._bound_fns = {}
+        return params
+
+    def _bound_fn(self, key, build):
+        fn = self._bound_fns.get(key)
+        if fn is None:
+            fn = self._bound_fns[key] = build()
+        return fn
+
+    @staticmethod
+    def _bind_const(fn, params, donate=()):
+        """jit of ``fn`` with ``params`` closure-bound as constants.
+
+        ``optimization_barrier`` pins the embedded weights: without it XLA
+        constant-folds/reassociates through them and the bound program
+        drifts from the arg-passing one (~1e-3 on boxes, measured) — with
+        it the two are bit-identical (tests/test_bind_params.py), and the
+        dispatch still drops the param-tree argument."""
+        def bound(*args):
+            return fn(jax.lax.optimization_barrier(params), *args)
+        return jax.jit(bound, donate_argnums=donate)
+
     def enable_kv_sharded_attention(self, mesh) -> None:
         """Shard the relation head's K/V axis over ``mesh`` (sequence
         parallelism for windows beyond one chip's HBM; exact — see
@@ -183,6 +239,8 @@ class BaseEngine:
             attr = getattr(type(self), name, None)
             if hasattr(attr, "cache_clear"):
                 attr.cache_clear()
+        self._bound_params = None
+        self._bound_fns = {}
 
     def _canvas(self, h: int, w: int):
         return get_canvas(h, w, self.anchor_stride,
@@ -248,12 +306,24 @@ class BaseEngine:
 
     def _backbone_dispatch(self, params, img, img_shape):
         h, w = img.shape[1], img.shape[2]
+        bound = params is self._bound_params and self._bind_backbone
         if img.dtype == jnp.uint8:
-            fn = self._frame_backbone_u8_fn(
-                h, w,
-                tuple(float(v) for v in self.img_norm["mean"]),
-                tuple(float(v) for v in self.img_norm["std"]))
+            mean = tuple(float(v) for v in self.img_norm["mean"])
+            std = tuple(float(v) for v in self.img_norm["std"])
+            if bound:
+                fn = self._bound_fn(
+                    ("backbone_u8", h, w, mean, std),
+                    lambda: self._bind_const(
+                        self._frame_backbone_u8_fn(h, w, mean, std), params))
+                return fn(img, _dev_f32(img_shape))
+            fn = self._frame_backbone_u8_fn(h, w, mean, std)
             return fn(params, img, _dev_f32(img_shape))
+        if bound:
+            fn = self._bound_fn(
+                ("backbone", h, w),
+                lambda: self._bind_const(self._frame_backbone_fn(h, w),
+                                         params))
+            return fn(img)
         return self._frame_backbone_fn(h, w)(params, img)
 
     @functools.lru_cache(maxsize=8)
@@ -279,10 +349,17 @@ class BaseEngine:
         (normalization then fuses into the backbone program)."""
         h, w = img.shape[1], img.shape[2]
         c5, cls_map, reg_map = self._backbone_dispatch(params, img, img_shape)
-        return self._frame_post_fn(h, w)(
-            self._bb(params), c5, cls_map, reg_map,
-            _dev_f32(img_shape),
-            _dev_f32(pad_shape))
+        if params is self._bound_params:
+            post = self._bound_fn(
+                ("post", h, w),
+                lambda: self._bind_const(self._frame_post_fn(h, w),
+                                         self._bb(params)))
+        else:
+            post = functools.partial(self._frame_post_fn(h, w),
+                                     self._bb(params))
+        return post(c5, cls_map, reg_map,
+                    _dev_f32(img_shape),
+                    _dev_f32(pad_shape))
 
     # ---------------------------------------------------- aug frame program
     @functools.lru_cache(maxsize=4)
@@ -505,9 +582,8 @@ class _RingMixin:
                                      decode=decode)
         return self._window_body(t_dim, key_dim, branch, decode=decode)
 
-    @functools.lru_cache(maxsize=4)
-    def _ring_detect_fn(self, t_dim: int, key_dim: int, branch=None,
-                        passes=None):
+    def _ring_detect_body(self, t_dim: int, key_dim: int, branch=None,
+                          passes=None):
         body = self._body_for(t_dim, key_dim, branch, passes)
 
         def fn(params, state, img_shape, scale_factor):
@@ -517,19 +593,30 @@ class _RingMixin:
             masks = jnp.roll(state["masks"], shift, axis=0)
             return body(params, fc1, boxes, masks, img_shape, scale_factor)
 
-        return jax.jit(fn)
+        return fn
+
+    @functools.lru_cache(maxsize=4)
+    def _ring_detect_fn(self, t_dim: int, key_dim: int, branch=None,
+                        passes=None):
+        return jax.jit(self._ring_detect_body(t_dim, key_dim, branch, passes))
 
     def ring_detect(self, params, state, img_shape, scale_factor,
                     key_dim: Optional[int] = None, branch=None):
-        fn = self._ring_detect_fn(self.window,
-                                  self.key_dim if key_dim is None else key_dim,
-                                  branch, getattr(self, "multi_pass", None))
+        kd = self.key_dim if key_dim is None else key_dim
+        passes = getattr(self, "multi_pass", None)
+        if params is self._bound_params:
+            fn = self._bound_fn(
+                ("ring_detect", self.window, kd, branch, passes),
+                lambda: self._bind_const(
+                    self._ring_detect_body(self.window, kd, branch, passes),
+                    self._bb(params)))
+            return fn(state, _dev_f32(img_shape), _dev_f32(scale_factor))
+        fn = self._ring_detect_fn(self.window, kd, branch, passes)
         return fn(self._bb(params), state, _dev_f32(img_shape),
                   _dev_f32(scale_factor))
 
-    @functools.lru_cache(maxsize=4)
-    def _ring_step_fn(self, t_dim: int, key_dim: int, branch=None,
-                      passes=None):
+    def _ring_step_body(self, t_dim: int, key_dim: int, branch=None,
+                        passes=None):
         """Fused push + detect: one dispatch for the whole window stage."""
         body = self._body_for(t_dim, key_dim, branch, passes)
 
@@ -552,14 +639,28 @@ class _RingMixin:
             out = body(params, fc1, boxes, masks, img_shape, scale_factor)
             return state, out
 
-        return jax.jit(fn, donate_argnums=(1,))
+        return fn
+
+    @functools.lru_cache(maxsize=4)
+    def _ring_step_fn(self, t_dim: int, key_dim: int, branch=None,
+                      passes=None):
+        return jax.jit(self._ring_step_body(t_dim, key_dim, branch, passes),
+                       donate_argnums=(1,))
 
     def ring_step(self, params, state, feats, img_shape, scale_factor,
                   key_dim: Optional[int] = None, branch=None):
         """Push a frame's caches AND detect the window center in one program."""
-        fn = self._ring_step_fn(self.window,
-                                self.key_dim if key_dim is None else key_dim,
-                                branch, getattr(self, "multi_pass", None))
+        kd = self.key_dim if key_dim is None else key_dim
+        passes = getattr(self, "multi_pass", None)
+        if params is self._bound_params:
+            fn = self._bound_fn(
+                ("ring_step", self.window, kd, branch, passes),
+                lambda: self._bind_const(
+                    self._ring_step_body(self.window, kd, branch, passes),
+                    self._bb(params), donate=(0,)))
+            return fn(state, feats, _dev_f32(img_shape),
+                      _dev_f32(scale_factor))
+        fn = self._ring_step_fn(self.window, kd, branch, passes)
         return fn(self._bb(params), state, feats,
                   _dev_f32(img_shape),
                   _dev_f32(scale_factor))
@@ -879,8 +980,7 @@ class HNMBRCNN(_RingMixin, BaseEngine):
         hst["mask"] = state["masks"]
         return hst
 
-    @functools.lru_cache(maxsize=2)
-    def _stream_push_fn(self, t_dim: int):
+    def _stream_push_body(self, t_dim: int):
         mod = self.module
 
         def fn(params, state, feats):
@@ -898,7 +998,11 @@ class HNMBRCNN(_RingMixin, BaseEngine):
             out["count"] = jnp.minimum(state["count"] + 1, t_dim)
             return out
 
-        return jax.jit(fn, donate_argnums=(1,))
+        return fn
+
+    @functools.lru_cache(maxsize=2)
+    def _stream_push_fn(self, t_dim: int):
+        return jax.jit(self._stream_push_body(t_dim), donate_argnums=(1,))
 
     def _check_stream_no_multipass(self):
         """The streaming ring caches the single-pass spliced graph; the
@@ -916,6 +1020,12 @@ class HNMBRCNN(_RingMixin, BaseEngine):
         self._check_stream_no_multipass()
         if params is None:
             raise ValueError("streaming ring_push needs params")
+        if params is self._bound_params:
+            fn = self._bound_fn(
+                ("stream_push", self.window),
+                lambda: self._bind_const(self._stream_push_body(self.window),
+                                         self._bb(params), donate=(0,)))
+            return fn(state, feats)
         return self._stream_push_fn(self.window)(self._bb(params), state,
                                                  feats)
 
@@ -939,12 +1049,15 @@ class HNMBRCNN(_RingMixin, BaseEngine):
                 for cls, reg in pairs]
         return outs[0] if branch is not None else outs
 
-    @functools.lru_cache(maxsize=4)
-    def _stream_detect_fn(self, t_dim: int, key_dim: int, branch=None):
+    def _stream_detect_body(self, t_dim: int, key_dim: int, branch=None):
         def fn(params, state, img_shape, scale_factor):
             return self._stream_decode(params, state, img_shape, scale_factor,
                                        t_dim, key_dim, branch)
-        return jax.jit(fn)
+        return fn
+
+    @functools.lru_cache(maxsize=4)
+    def _stream_detect_fn(self, t_dim: int, key_dim: int, branch=None):
+        return jax.jit(self._stream_detect_body(t_dim, key_dim, branch))
 
     def ring_detect(self, params, state, img_shape, scale_factor,
                     key_dim: Optional[int] = None, branch=None):
@@ -952,13 +1065,19 @@ class HNMBRCNN(_RingMixin, BaseEngine):
             return super().ring_detect(params, state, img_shape, scale_factor,
                                        key_dim, branch)
         self._check_stream_no_multipass()
-        fn = self._stream_detect_fn(
-            self.window, self.key_dim if key_dim is None else key_dim, branch)
+        kd = self.key_dim if key_dim is None else key_dim
+        if params is self._bound_params:
+            fn = self._bound_fn(
+                ("stream_detect", self.window, kd, branch),
+                lambda: self._bind_const(
+                    self._stream_detect_body(self.window, kd, branch),
+                    self._bb(params)))
+            return fn(state, _dev_f32(img_shape), _dev_f32(scale_factor))
+        fn = self._stream_detect_fn(self.window, kd, branch)
         return fn(self._bb(params), state, _dev_f32(img_shape),
                   _dev_f32(scale_factor))
 
-    @functools.lru_cache(maxsize=4)
-    def _stream_step_fn(self, t_dim: int, key_dim: int, branch=None):
+    def _stream_step_body(self, t_dim: int, key_dim: int, branch=None):
         mod = self.module
 
         def fn(params, state, feats, img_shape, scale_factor):
@@ -978,7 +1097,12 @@ class HNMBRCNN(_RingMixin, BaseEngine):
                                       t_dim, key_dim, branch)
             return new, out
 
-        return jax.jit(fn, donate_argnums=(1,))
+        return fn
+
+    @functools.lru_cache(maxsize=4)
+    def _stream_step_fn(self, t_dim: int, key_dim: int, branch=None):
+        return jax.jit(self._stream_step_body(t_dim, key_dim, branch),
+                       donate_argnums=(1,))
 
     def ring_step(self, params, state, feats, img_shape, scale_factor,
                   key_dim: Optional[int] = None, branch=None):
@@ -986,8 +1110,16 @@ class HNMBRCNN(_RingMixin, BaseEngine):
             return super().ring_step(params, state, feats, img_shape,
                                      scale_factor, key_dim, branch)
         self._check_stream_no_multipass()
-        fn = self._stream_step_fn(
-            self.window, self.key_dim if key_dim is None else key_dim, branch)
+        kd = self.key_dim if key_dim is None else key_dim
+        if params is self._bound_params:
+            fn = self._bound_fn(
+                ("stream_step", self.window, kd, branch),
+                lambda: self._bind_const(
+                    self._stream_step_body(self.window, kd, branch),
+                    self._bb(params), donate=(0,)))
+            return fn(state, feats, _dev_f32(img_shape),
+                      _dev_f32(scale_factor))
+        fn = self._stream_step_fn(self.window, kd, branch)
         return fn(self._bb(params), state, feats,
                   _dev_f32(img_shape),
                   _dev_f32(scale_factor))

@@ -46,9 +46,19 @@ class SlidingWindowRunner:
                  branch: int = -1, progress_hook=None,
                  use_ring: Optional[bool] = None, timer=None,
                  prepad_provider=None, aug: bool = False,
-                 flush_every: int = 16, pair_features: int = 1):
+                 flush_every: int = 16, pair_features: int = 1,
+                 bind: bool = False):
         self.engine = engine
         self.params = params
+        # Closure-bind the fixed params into the steady-state programs
+        # (engine.bind_params — equality-tested).  OFF by default: the
+        # per-call dispatch saving (0.099 → 0.020 ms microbenched) is fully
+        # hidden by async dispatch pipelining on the device relay
+        # (interleaved A/B: +0.01 ms/frame, BASELINE.md round 3) and costs
+        # extra XLA compiles per checkpoint; provided for hosts where
+        # per-call dispatch is exposed (synchronous callers, slow hosts).
+        if bind and hasattr(engine, "bind_params"):
+            engine.bind_params(params)
         # multi-scale-flip augmented testing (reference test_mixins.py:15-110
         # via MultiScaleFlipAug): frames arrive as per-aug variants, per-frame
         # proposals merge across augs, per-aug head scores average at decode
