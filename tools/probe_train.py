@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--model", choices=["hvrnet", "selsa"], default="hvrnet")
     ap.add_argument("--steps", type=int, default=15)
     ap.add_argument("--canvas", type=int, nargs=2, default=(608, 1008))
+    ap.add_argument("--bf16", action="store_true",
+                    help="engine dtype=bfloat16 (the tools/train.py --bf16 "
+                         "path); params stay f32, compute casts to bf16")
+    ap.add_argument("--trace", default=None,
+                    help="write a jax.profiler trace of the sustained loop "
+                         "to this directory")
     args = ap.parse_args()
 
     import jax
@@ -52,7 +58,9 @@ def main():
             else "configs/faster_rcnn_r101_selsa_c5.py")
     cfg = Config.fromfile(osp.join(osp.dirname(osp.dirname(
         osp.abspath(__file__))), cfgf))
-    engine = build_detector(cfg.model, cfg.train_cfg, None, dtype=jnp.float32)
+    engine = build_detector(
+        cfg.model, cfg.train_cfg, None,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     trainer = build_trainer(engine, cfg)
 
     h, w = args.canvas
@@ -79,11 +87,16 @@ def main():
           f"loss {float(logs['loss']):.3f}", flush=True)
 
     n = args.steps
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
     t0 = time.perf_counter()
     for i in range(n):
         state, logs = step(state, batch, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(logs)
     dt = (time.perf_counter() - t0) / n * 1e3
+    if args.trace:
+        jax.profiler.stop_trace()
+        print(f"trace written to {args.trace}", flush=True)
     print(f"sustained: {dt:.1f} ms/step ({1e3/dt:.1f} steps/s, "
           f"{frames*1e3/dt:.1f} frames/s) loss {float(logs['loss']):.3f}",
           flush=True)
