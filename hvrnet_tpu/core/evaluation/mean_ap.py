@@ -41,7 +41,16 @@ def bbox_overlaps_np(b1: np.ndarray, b2: np.ndarray, mode: str = "iou") -> np.nd
 
 def average_precision(recalls: np.ndarray, precisions: np.ndarray,
                       mode: str = "area") -> np.ndarray:
-    """AP from PR points (reference mean_ap.py:9-55)."""
+    """AP from PR points (reference mean_ap.py:9-55).
+
+    Deliberate divergence: in '11points' mode the reference divides
+    ``ap /= 11`` INSIDE its per-scale loop (mean_ap.py:41-46), so with
+    num_scales > 1 every scale after the first gets divided repeatedly —
+    a bug.  We divide once after the loop (correct 11-point VOC AP).  The
+    VID protocol always evaluates with mode='area', so no shipped result
+    is affected; flagged here because this repo otherwise preserves
+    reference quirks.
+    """
     no_scale = recalls.ndim == 1
     if no_scale:
         recalls = recalls[None]

@@ -82,7 +82,8 @@ class BaseTrainer:
             warmup_ratio=float(lrc.get("warmup_ratio", 1.0 / 3)))
         self._opt_kw = dict(momentum=float(opt.get("momentum", 0.9)),
                             weight_decay=float(opt.get("weight_decay", 1e-4)),
-                            clip_norm=float(clip))
+                            clip_norm=float(clip),
+                            paramwise_options=opt.get("paramwise_options"))
         self.tx = None
         # fp16 = dict(loss_scale=512.) config key (reference configs +
         # Fp16OptimizerHook, `mmdet/core/fp16/hooks.py:27-36`): scale the
@@ -112,7 +113,7 @@ class BaseTrainer:
             freeze_backbone=self.freeze_backbone,
             freeze_rpn=self.freeze_rpn)
         self.tx = make_optimizer(self.schedule, trainable_mask=mask,
-                                 **self._opt_kw)
+                                 params=params, **self._opt_kw)
         scale = self.loss_scale.init() if self.loss_scale else None
         return TrainState(params, self.tx.init(params),
                           jnp.zeros((), jnp.int32), scale)

@@ -135,13 +135,14 @@ class FCOSTrainer:
                             weight_decay=float(opt.get("weight_decay", 1e-4)),
                             clip_norm=float(cfg.get("optimizer_config", {})
                                             .get("grad_clip", {})
-                                            .get("max_norm", 35.0)))
+                                            .get("max_norm", 35.0)),
+                            paramwise_options=opt.get("paramwise_options"))
         self.tx = None
 
     def create_state(self, params) -> TrainState:
         mask = default_trainable_mask(params, frozen_stages=1)
         self.tx = make_optimizer(self.schedule, trainable_mask=mask,
-                                 **self._opt_kw)
+                                 params=params, **self._opt_kw)
         return TrainState(params, self.tx.init(params),
                           jnp.zeros((), jnp.int32))
 

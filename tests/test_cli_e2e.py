@@ -86,6 +86,39 @@ def test_test_cli_and_vid_eval(mini_vid, tmp_path):  # noqa: F811
     assert "mAP" in r2.stdout
 
 
+def test_test_cli_json_out_and_show(mini_vid, tmp_path):  # noqa: F811
+    """tools/test.py --json_out writes a COCO-results json (reference
+    test.py:791-799 results2json) and --show renders annotated frames
+    (headless counterpart of test.py:685)."""
+    import json
+    cfg_path = str(tmp_path / "tiny_cfg.py")
+    with open(cfg_path, "w") as f:
+        f.write(TINY_CFG.format(root=mini_vid))
+    out = str(tmp_path / "results.pkl")
+    json_out = str(tmp_path / "results_json")
+    show_dir = str(tmp_path / "vis")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys; sys.argv=['test.py', %r, '--out', %r, '--json_out', %r,"
+         "'--show', '--show-dir', %r, '--show-thr', '0.0'];"
+         "sys.path.insert(0, %r);"
+         "import runpy; runpy.run_path(%r, run_name='__main__')"
+         % (cfg_path, out, json_out, show_dir, REPO,
+            osp.join(REPO, "tools/test.py"))],
+        capture_output=True, timeout=900, cwd=REPO, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(json_out + ".bbox.json") as f:
+        dets = json.load(f)
+    assert isinstance(dets, list)
+    for d in dets:
+        assert set(d) == {"image_id", "bbox", "score", "category_id"}
+        assert len(d["bbox"]) == 4 and d["bbox"][2] > 0 and d["bbox"][3] > 0
+        assert 1 <= d["category_id"] <= 30
+    frames = os.listdir(show_dir)
+    assert len(frames) == 8 and all(p.endswith(".jpg") for p in frames)
+
+
 TRAIN_TAIL = '''
 train_cfg = dict(
     rpn=dict(

@@ -133,6 +133,32 @@ def test_hnmb_train_step_runs_and_freezes_backbone():
     assert not np.allclose(h0, h1)
 
 
+def test_hnmb_train_step_reference_pool_shape():
+    """The reference recipe's collated batch is 27 frames = 9 triplet-pool
+    videos × 3 (config `selsa_imgs=27`, hrnmp_c5.py:14; pool = 3 same-class
+    videos + extra_cls=2 classes × video_per_cls=3, sample_videos at
+    imagenet_vid_sequence.py:164-183).  Round 3 only exercised a reduced
+    5-video pool — this pins the true operating shape."""
+    model_cfg = tiny_model_cfg(head_type='HRNMPBBoxHead', sampler_num=8,
+                               t_dim=9, imgs_per_video=3)
+    model_cfg["type"] = 'HNMBRCNN'
+    train_cfg = tiny_train_cfg(two_stage_sampler=False, num=8)
+    eng = HNMBRCNN(model_cfg, train_cfg, None)
+    params = eng.init_params(jax.random.PRNGKey(0))
+    trainer = HNMBTrainer(eng, dict(optimizer=dict(lr=1e-3)), mesh=None,
+                          steps_per_epoch=10)
+    state = trainer.create_state(params)
+    step = trainer.make_train_step(64, 96)
+    rng = np.random.default_rng(3)
+    batch = make_sample(rng, frames=27)   # 9 videos × 3 frames
+    h0 = np.asarray(params["params"]["bbox_head"]["fc_cls_2"]["kernel"])
+    state2, logs = step(state, batch, jax.random.PRNGKey(4))
+    assert np.isfinite(float(logs["loss"]))
+    assert np.isfinite(float(logs["loss_trip"]))
+    h1 = state2.params["params"]["bbox_head"]["fc_cls_2"]["kernel"]
+    assert not np.allclose(h0, h1)
+
+
 def _tree_allclose(a, b, rtol=1e-4, atol=1e-5):
     la = jax.tree_util.tree_leaves(a)
     lb = jax.tree_util.tree_leaves(b)

@@ -22,10 +22,11 @@ def cal_train_time(entries):
     for e in entries:
         if "time" in e and "epoch" in e:
             per_epoch[e["epoch"]].append(e["time"])
-    print(f"{'epoch':>6} {'mean_wall(s)':>12} {'iters':>6}")
+    print(f"{'epoch':>6} {'mean_iter(s)':>12} {'max_iter(s)':>12} {'iters':>6}")
     for ep in sorted(per_epoch):
         ts = per_epoch[ep]
-        print(f"{ep:>6} {max(ts):>12.2f} {len(ts):>6}")
+        print(f"{ep:>6} {sum(ts) / len(ts):>12.4f} {max(ts):>12.4f} "
+              f"{len(ts):>6}")
 
 
 def plot_curve(entries, keys, out=None):

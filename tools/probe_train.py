@@ -1,9 +1,10 @@
 """Sustained train-step probe on the real TPU (BASELINE.md methodology).
 
 Builds the config's trainer at the full 608×1008 canvas with synthetic
-batches matching the reference batch shapes (HVRNet: videos_per_batch
-triplet videos × 3 frames; SELSA: 3 frames), dispatches N donated steps
-back-to-back and blocks once — the tunnel-robust measurement.
+batches matching the reference batch shapes (HVRNet: cfg selsa_imgs = 27
+collated frames = 9 triplet-pool videos × 3 frames; SELSA: 3 frames),
+dispatches N donated steps back-to-back and blocks once — the
+tunnel-robust measurement.
 
 Usage: python tools/probe_train.py [--model hvrnet|selsa] [--steps 15]
 """
@@ -37,6 +38,10 @@ def main():
     ap.add_argument("--model", choices=["hvrnet", "selsa"], default="hvrnet")
     ap.add_argument("--steps", type=int, default=15)
     ap.add_argument("--canvas", type=int, nargs=2, default=(608, 1008))
+    ap.add_argument("--frames", type=int, default=0,
+                    help="override the config-derived collated frame count "
+                         "(0 = use cfg.data.selsa_imgs: 27 for HVRNet, 3 "
+                         "for SELSA)")
     ap.add_argument("--bf16", action="store_true",
                     help="engine dtype=bfloat16 (the tools/train.py --bf16 "
                          "path); params stay f32, compute casts to bf16")
@@ -65,12 +70,17 @@ def main():
 
     h, w = args.canvas
     rng = np.random.default_rng(0)
-    if args.model == "hvrnet":
-        videos = int(cfg.data.get("videos_per_gpu", 3) or 3)
-        frames = 3 * max(videos, 3) + 6   # +2 extra-class videos (triplet pool)
-    else:
-        frames = 3
-    print(f"{args.model}: {frames} frames @ {h}x{w}", flush=True)
+    # The reference recipe's collated frame count is the config's selsa_imgs
+    # (`faster_rcnn_r101_hrnmp_c5.py:14`: 27 = 9 triplet videos × 3 frames —
+    # 3 same-class videos + extra_cls=2 classes × video_per_cls=3, the
+    # sample_videos pool at `imagenet_vid_sequence.py:164-183`; SELSA: 3).
+    # Round 3 probed a reduced 15-frame (5-video) pool here — corrected.
+    frames = int(cfg.data.get("selsa_imgs", 3))
+    if args.frames:
+        frames = args.frames
+    videos = frames // 3
+    print(f"{args.model}: {frames} frames ({videos} videos) @ {h}x{w}",
+          flush=True)
 
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         params = engine.init_params(jax.random.PRNGKey(0))

@@ -28,6 +28,19 @@ def parse_args():
     p.add_argument("--tmpdir", default=None,
                    help="directory for per-rank part files")
     p.add_argument("--eval", action="store_true", help="run vid mAP at the end")
+    p.add_argument("--json_out", default=None,
+                   help="COCO-results json file name WITHOUT extension "
+                        "(reference test.py:675-678,791-799): rank 0 writes "
+                        "<json_out>.bbox.json after the merge")
+    p.add_argument("--show", action="store_true",
+                   help="render detections onto the source frames "
+                        "(reference test.py:685 displays interactively; this "
+                        "environment is headless, so frames are written to "
+                        "--show-dir instead)")
+    p.add_argument("--show-dir", default="vis",
+                   help="output directory for --show")
+    p.add_argument("--show-thr", type=float, default=0.3,
+                   help="score threshold for --show")
     p.add_argument("--merge-timeout", type=float, default=3600.0,
                    help="rank-0 wait (s) for other ranks' part files")
     p.add_argument("--branch", type=int, default=-1,
@@ -169,9 +182,75 @@ def main():
         with open(args.out, "wb") as f:
             pickle.dump(merged, f)
         logger.info("merged results → %s", args.out)
+        if args.json_out:
+            path = vid_results2json(dataset, merged, args.json_out + ".bbox.json")
+            logger.info("COCO-json results → %s", path)
+        if args.show:
+            n = show_results(dataset, merged, args.show_dir, args.show_thr)
+            logger.info("wrote %d annotated frames → %s", n, args.show_dir)
         if args.eval:
             from tools.vid_eval import evaluate_results
             evaluate_results(args.out, args.config)
+
+
+def _iter_frames(dataset):
+    """(global frame index, video info, in-video offset) over dataset order."""
+    fid = 0
+    for vinfo in dataset.img_infos:
+        for off in range(vinfo["frame_seg_len"]):
+            yield fid, vinfo, off
+            fid += 1
+
+
+def vid_results2json(dataset, results, out_file):
+    """Merged per-frame results → COCO results json.
+
+    Frame-aware variant of `tools/coco_eval.results2json` (reference
+    `coco_utils.py` det2json semantics: xywh with the +1 VOC width
+    convention, category_id = label + 1): the VID dataset's image ids are
+    the per-frame `pattern % offset` strings.
+    """
+    import json
+    json_results = []
+    for fid, vinfo, off in _iter_frames(dataset):
+        if fid >= len(results) or results[fid] is None:
+            continue
+        res = results[fid]
+        if isinstance(res, list) and len(res) == 2 and isinstance(res[0], list):
+            res = res[1]      # (proposals, dets) pairs from some runners
+        for label, dets in enumerate(res):
+            for det in dets:
+                x1, y1, x2, y2, score = [float(v) for v in det[:5]]
+                json_results.append(dict(
+                    image_id=vinfo["pattern"] % off,
+                    bbox=[x1, y1, x2 - x1 + 1, y2 - y1 + 1],
+                    score=score, category_id=label + 1))
+    with open(out_file, "w") as f:
+        json.dump(json_results, f)
+    return out_file
+
+
+def show_results(dataset, results, out_dir, score_thr):
+    """Draw detections on the source frames (headless `--show`)."""
+    import cv2
+    from inference_vis import draw_result   # repo root is on sys.path
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for fid, vinfo, off in _iter_frames(dataset):
+        if fid >= len(results) or results[fid] is None:
+            continue
+        path = os.path.join(dataset.img_prefix, "JPEGImages",
+                            (vinfo["pattern"] % off) + ".JPEG")
+        img = cv2.imread(path)
+        if img is None:
+            continue
+        res = results[fid]
+        if isinstance(res, list) and len(res) == 2 and isinstance(res[0], list):
+            res = res[1]
+        draw_result(img, res, score_thr=score_thr)
+        cv2.imwrite(os.path.join(out_dir, f"{fid:06d}.jpg"), img)
+        n += 1
+    return n
 
 
 if __name__ == "__main__":
