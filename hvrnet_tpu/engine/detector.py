@@ -143,6 +143,8 @@ class BaseEngine:
         self._bound_params = None
         self._bind_backbone = False
         self._bound_fns: Dict[Any, Any] = {}
+        # opt-in SPMD lockstep lanes (see enable_spmd_lanes)
+        self.lanes_mesh = None
 
     # ----------------------------------------------------------------- init
     def init_params(self, rng: jax.Array, canvas_hw=(64, 64)):
@@ -242,6 +244,45 @@ class BaseEngine:
         self._bound_params = None
         self._bound_fns = {}
 
+    def enable_spmd_lanes(self, mesh) -> None:
+        """Shard the lockstep batched-stream programs over ``mesh``.
+
+        The batched runner drives B video streams in lockstep
+        (``BatchedSlidingWindowRunner``); with a lanes mesh the stream axis
+        shards over the devices (B must be a multiple of ``mesh.size``), so N
+        video streams run on N chips in ONE program: backbone, proposals,
+        ring push and window detect all execute per device on the local
+        lanes with no cross-lane coupling.  The grouped NMS pick loops
+        (``ops/nms.py:nms_static_lanes``) run per device over the local
+        shard — exact either way; the grouping is a latency optimization,
+        not a semantic coupling.  This is the single-program scale-out story
+        for inference; the reference instead scales out with N processes +
+        a part-file merge (`/root/reference/tools/test.py:546-589`), which
+        is also supported (``tools/test.py --world-size``).
+
+        Equality: sharded ≡ unsharded batched runner on the 8-device CPU
+        mesh (tests/test_spmd_lanes.py), and the unsharded batched runner is
+        schedule-exact vs the sequential reference loop
+        (tests/test_batched_runner.py)."""
+        self.lanes_mesh = mesh
+
+    @staticmethod
+    def _lanes_shard(body, mesh, n_lane_args: int, lead_specs=()):
+        """jit(shard_map(body)) with ``lead_specs`` replicated leading args
+        (the param pytree) and ``n_lane_args`` lane-sharded array args."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        ax = mesh.axis_names[0]
+        specs = tuple(lead_specs) + (P(ax),) * n_lane_args
+        return shard_map(body, mesh=mesh, in_specs=specs, out_specs=P(ax),
+                         check_vma=False)
+
+    def _lanes_put(self, tree):
+        """Place a (B, …) pytree sharded on the lane axis of the lanes mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        s = NamedSharding(self.lanes_mesh, P(self.lanes_mesh.axis_names[0]))
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
     def _canvas(self, h: int, w: int):
         return get_canvas(h, w, self.anchor_stride,
                           self.anchor_scales, self.anchor_ratios)
@@ -263,8 +304,7 @@ class BaseEngine:
     # proposals+RoIAlign+fc1): fused into one, XLA's compile time on this
     # graph explodes (~250 s vs ~30 s split) for no measurable runtime win —
     # the intermediate C4/C5 maps stay device-resident either way.
-    @functools.lru_cache(maxsize=8)
-    def _frame_backbone_fn(self, canvas_h: int, canvas_w: int):
+    def _frame_backbone_body(self):
         mod = self.module
 
         def fn(params, img):
@@ -273,7 +313,17 @@ class BaseEngine:
             cls_map, reg_map = mod.apply(params, c4, method=mod.rpn)
             return c5, cls_map, reg_map
 
-        return jax.jit(fn)
+        return fn
+
+    @functools.lru_cache(maxsize=8)
+    def _frame_backbone_fn(self, canvas_h: int, canvas_w: int):
+        return jax.jit(self._frame_backbone_body())
+
+    @functools.lru_cache(maxsize=4)
+    def _frame_backbone_spmd_fn(self, canvas_h: int, canvas_w: int, mesh):
+        from jax.sharding import PartitionSpec as P
+        return jax.jit(self._lanes_shard(self._frame_backbone_body(), mesh,
+                                         1, lead_specs=(P(),)))
 
     @functools.lru_cache(maxsize=8)
     def _frame_backbone_u8_fn(self, canvas_h: int, canvas_w: int,
@@ -285,6 +335,19 @@ class BaseEngine:
         transforms.py:293,240): pixels beyond img_shape are forced to 0, not
         (0−mean)/std.  mean/std are part of the cache key so a late
         engine.img_norm override can never hit a stale compiled program."""
+        return jax.jit(self._frame_backbone_u8_body(canvas_h, canvas_w,
+                                                    mean, std))
+
+    @functools.lru_cache(maxsize=4)
+    def _frame_backbone_u8_spmd_fn(self, canvas_h: int, canvas_w: int,
+                                   mean: tuple, std: tuple, mesh):
+        from jax.sharding import PartitionSpec as P
+        return jax.jit(self._lanes_shard(
+            self._frame_backbone_u8_body(canvas_h, canvas_w, mean, std),
+            mesh, 2, lead_specs=(P(),)))
+
+    def _frame_backbone_u8_body(self, canvas_h: int, canvas_w: int,
+                                mean: tuple, std: tuple):
         mod = self.module
 
         def fn(params, img, img_shape):
@@ -302,7 +365,7 @@ class BaseEngine:
             cls_map, reg_map = mod.apply(params, c4, method=mod.rpn)
             return c5, cls_map, reg_map
 
-        return jax.jit(fn)
+        return fn
 
     def _backbone_dispatch(self, params, img, img_shape):
         h, w = img.shape[1], img.shape[2]
@@ -483,6 +546,18 @@ class BaseEngine:
         back to back (the ~2.8 ms latency-bound proposals stage, per lane).
         The shared loop retires candidates from every lane each round, so
         the sequential round count stays at roughly a single frame's."""
+        return jax.jit(self._frame_post_batched_body(canvas_h, canvas_w))
+
+    @functools.lru_cache(maxsize=4)
+    def _frame_post_batched_spmd_fn(self, canvas_h: int, canvas_w: int, mesh):
+        """SPMD post stage: each device runs the batched body over its LOCAL
+        lanes (B // mesh.size streams) — the pick loop groups per device."""
+        from jax.sharding import PartitionSpec as P
+        return jax.jit(self._lanes_shard(
+            self._frame_post_batched_body(canvas_h, canvas_w), mesh, 5,
+            lead_specs=(P(),)))
+
+    def _frame_post_batched_body(self, canvas_h: int, canvas_w: int):
         canvas = self._canvas(canvas_h, canvas_w)
         rpn_cfg = self.test_cfg["rpn"]
         mod = self.module
@@ -517,13 +592,32 @@ class BaseEngine:
             return dict(fc1=jnp.stack(fc1s), boxes=boxes, scores=out_scores,
                         mask=keep_mask)
 
-        return jax.jit(batched)
+        return batched
 
     def frame_features_batched(self, params, imgs: jnp.ndarray, img_shapes,
                                pad_shapes):
         """imgs: (B, H, W, 3) — one frame from each of B video streams.
-        Returns dict of (B, …) per-frame caches."""
+        Returns dict of (B, …) per-frame caches.  With a lanes mesh
+        (``enable_spmd_lanes``) the B axis shards over the mesh devices."""
         h, w = imgs.shape[1], imgs.shape[2]
+        mesh = self.lanes_mesh
+        if mesh is not None:
+            B = imgs.shape[0]
+            if B % mesh.size != 0:
+                raise ValueError(f"SPMD lanes need batch % mesh.size == 0 "
+                                 f"(got B={B}, {mesh.size} devices)")
+            ish = np.asarray(img_shapes, np.float32)
+            psh = np.asarray(pad_shapes, np.float32)
+            if imgs.dtype == jnp.uint8:
+                mean = tuple(float(v) for v in self.img_norm["mean"])
+                std = tuple(float(v) for v in self.img_norm["std"])
+                c5, cls_map, reg_map = self._frame_backbone_u8_spmd_fn(
+                    h, w, mean, std, mesh)(params, imgs, ish)
+            else:
+                c5, cls_map, reg_map = self._frame_backbone_spmd_fn(
+                    h, w, mesh)(params, imgs)
+            return self._frame_post_batched_spmd_fn(h, w, mesh)(
+                self._bb(params), c5, cls_map, reg_map, ish, psh)
         c5, cls_map, reg_map = self._backbone_dispatch(params, imgs, img_shapes)
         return self._frame_post_batched_fn(h, w)(
             self._bb(params), c5, cls_map, reg_map,
@@ -668,18 +762,17 @@ class _RingMixin:
     # -------------------------------------------------- batched ring buffers
     def ring_reset_batched(self, batch: int, fc1_dim: int):
         T, P = self.window, self.proposal_num
-        return dict(
+        state = dict(
             fc1=jnp.zeros((batch, T, P, fc1_dim), self.dtype),
             boxes=jnp.zeros((batch, T, P, 4), jnp.float32),
             masks=jnp.zeros((batch, T, P), bool),
             pos=jnp.full((batch,), -1, jnp.int32),
             count=jnp.zeros((batch,), jnp.int32))
+        if self.lanes_mesh is not None:
+            state = self._lanes_put(state)
+        return state
 
-    @functools.lru_cache(maxsize=2)
-    def _ring_push_batched_fn(self, t_dim: int):
-        single = self._ring_push_fn.__wrapped__(self, t_dim) \
-            if hasattr(self._ring_push_fn, "__wrapped__") else None
-
+    def _ring_push_batched_one(self, t_dim: int):
         def one(state, feats, reset):
             pos = jnp.where(reset, 0, (state["pos"] + 1) % t_dim)
             fc1_new = feats["fc1"].astype(state["fc1"].dtype)
@@ -703,12 +796,28 @@ class _RingMixin:
                         count=jnp.where(reset, 1,
                                         jnp.minimum(state["count"] + 1, t_dim)))
 
-        return jax.jit(jax.vmap(one), donate_argnums=(0,))
+        return one
+
+    @functools.lru_cache(maxsize=2)
+    def _ring_push_batched_fn(self, t_dim: int):
+        return jax.jit(jax.vmap(self._ring_push_batched_one(t_dim)),
+                       donate_argnums=(0,))
+
+    @functools.lru_cache(maxsize=2)
+    def _ring_push_batched_spmd_fn(self, t_dim: int, mesh):
+        return jax.jit(
+            self._lanes_shard(jax.vmap(self._ring_push_batched_one(t_dim)),
+                              mesh, 3),
+            donate_argnums=(0,))
 
     def ring_push_batched(self, state, feats, reset):
         """state: (B, …) ring buffers; feats: (B, …) frame caches;
         reset: (B,) bool — True fills the whole ring with this frame
         (video-start front padding in one shot)."""
+        if self.lanes_mesh is not None:
+            return self._ring_push_batched_spmd_fn(
+                self.window, self.lanes_mesh)(state, feats,
+                                              np.asarray(reset, bool))
         return self._ring_push_batched_fn(self.window)(state, feats, reset)
 
     @functools.lru_cache(maxsize=4)
@@ -719,6 +828,19 @@ class _RingMixin:
         decode shares ONE grouped pick loop (``multiclass_nms_static_lanes``)
         — vmapping the NMS while_loop is the measured 20×+ lockstep-gather
         pathology (BASELINE.md)."""
+        return jax.jit(self._ring_detect_batched_body(t_dim, key_dim,
+                                                      branch, passes))
+
+    @functools.lru_cache(maxsize=4)
+    def _ring_detect_batched_spmd_fn(self, t_dim: int, key_dim: int,
+                                     branch, passes, mesh):
+        from jax.sharding import PartitionSpec as P
+        return jax.jit(self._lanes_shard(
+            self._ring_detect_batched_body(t_dim, key_dim, branch, passes),
+            mesh, 3, lead_specs=(P(),)))
+
+    def _ring_detect_batched_body(self, t_dim: int, key_dim: int,
+                                  branch=None, passes=None):
         from ..ops.nms import multiclass_nms_static_lanes
         body = self._body_for(t_dim, key_dim, branch, passes, decode=False)
         rcnn_cfg = self.test_cfg["rcnn"]
@@ -742,13 +864,19 @@ class _RingMixin:
                     for bb, sc in pairs]
             return outs[0] if single else outs
 
-        return jax.jit(batched)
+        return batched
 
     def ring_detect_batched(self, params, state, img_shapes, scale_factors,
                             key_dim: Optional[int] = None, branch=None):
-        fn = self._ring_detect_batched_fn(
-            self.window, self.key_dim if key_dim is None else key_dim, branch,
-            getattr(self, "multi_pass", None))
+        kd = self.key_dim if key_dim is None else key_dim
+        passes = getattr(self, "multi_pass", None)
+        if self.lanes_mesh is not None:
+            fn = self._ring_detect_batched_spmd_fn(self.window, kd, branch,
+                                                   passes, self.lanes_mesh)
+            return fn(self._bb(params), state,
+                      np.asarray(img_shapes, np.float32),
+                      np.asarray(scale_factors, np.float32))
+        fn = self._ring_detect_batched_fn(self.window, kd, branch, passes)
         return fn(self._bb(params), state, _dev_f32(img_shapes),
                   _dev_f32(scale_factors))
 

@@ -316,6 +316,30 @@ def test_test_cli_batched(mini_vid, tmp_path):  # noqa: F811
     assert len(results) == 8 and all(x is not None for x in results)
 
 
+def test_test_cli_spmd_lanes(mini_vid, tmp_path):  # noqa: F811
+    """tools/test.py --batched 8 --spmd-lanes shards the lockstep streams
+    over the 8 virtual CPU devices in one program; results must match the
+    plain run (single-process multi-chip scale-out)."""
+    cfg_path = str(tmp_path / "tiny_cfg.py")
+    with open(cfg_path, "w") as f:
+        f.write(TINY_CFG.format(root=mini_vid))
+    out = str(tmp_path / "results_spmd.pkl")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "jax.config.update('jax_num_cpu_devices', 8);"
+         "import sys; sys.argv=['test.py', %r, '--out', %r, '--batched', '8',"
+         " '--spmd-lanes'];"
+         "sys.path.insert(0, %r);"
+         "import runpy; runpy.run_path(%r, run_name='__main__')"
+         % (cfg_path, out, REPO, osp.join(REPO, "tools/test.py"))],
+        capture_output=True, timeout=900, cwd=REPO, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(out, "rb") as f:
+        results = pickle.load(f)
+    assert len(results) == 8 and all(x is not None for x in results)
+
+
 HNL_CFG = TINY_CFG.replace("type='SelsaRCNN'", "type='HNMBRCNN'").replace(
     "type='SelsaBBoxHead'", "type='HRNMPBBoxHead'")
 

@@ -53,9 +53,24 @@ def tiny_engine():
     return engine, params
 
 
+@pytest.fixture(scope="module")
+def mini_vid_8rank(tmp_path_factory):
+    """Twelve videos with uneven lengths — the greedy packer (avg=5) shards
+    them over 8 ranks as [5,4,5,5,5,4,5,3] frames: every rank nonempty,
+    ranks carry 1 or 2 videos, three distinct shard sizes."""
+    root = str(tmp_path_factory.mktemp("VID8R"))
+    wnids = ["n02691156", "n02958343"]
+    lengths = [3, 2, 4, 2, 3, 5, 2, 3, 4, 2, 3, 3]
+    return build_mini_vid(root,
+                          [(f"val/ILSVRC2015_val_{i:08d}", n, wnids[i % 2])
+                           for i, n in enumerate(lengths)])
+
+
 @pytest.mark.parametrize("fixture_name, split",
                          [("mini_vid", (0, 8)),      # degenerate: all→rank 1
-                          ("mini_vid_44", (4, 4))])  # genuine 4+4 split
+                          ("mini_vid_44", (4, 4)),   # genuine 4+4 split
+                          # 8 ranks, uneven whole-video shards
+                          ("mini_vid_8rank", (5, 4, 5, 5, 5, 4, 5, 3))])
 def test_two_rank_merge_equals_single_rank(fixture_name, split, tiny_engine,
                                            request):
     from hvrnet_tpu.utils.dist_io import (collect_results, dump_part,
@@ -64,17 +79,18 @@ def test_two_rank_merge_equals_single_rank(fixture_name, split, tiny_engine,
 
     root = request.getfixturevalue(fixture_name)
     engine, params = tiny_engine
+    world = len(split)
 
     _, single = run_rank(engine, params, root, 1, 0)
 
     with tempfile.TemporaryDirectory() as td:
-        for r in range(2):
-            ds, results = run_rank(engine, params, root, 2, r)
+        for r in range(world):
+            ds, results = run_rank(engine, params, root, world, r)
             local = trim_to_local(results, ds, r)
             assert len(local) == split[r] == ds.local_frame_size_list[r]
             assert all(x is not None for x in local)
             dump_part(local, td, r)
-        merged = collect_results(td, 2, len(single))
+        merged = collect_results(td, world, len(single))
 
     assert len(merged) == len(single)
     for i, (a, b) in enumerate(zip(single, merged)):
@@ -112,6 +128,40 @@ def test_eval_hook_two_rank_matches_single_rank(mini_vid_44, tiny_engine,
     dist_dir.mkdir()
     assert hook(2, 1, dist_dir)(params, epoch=0) is None   # writes part only
     map_dist = hook(2, 0, dist_dir)(params, epoch=0)
+
+    assert map_dist is not None
+    np.testing.assert_allclose(map_dist, map_single, atol=1e-6)
+
+
+def test_eval_hook_eight_rank_matches_single_rank(mini_vid_8rank, tiny_engine,
+                                                  tmp_path):
+    """Same hook semantics at world_size=8 with uneven whole-video shards:
+    ranks 1-7 each persist a part file; rank 0 waits, merges in rank order
+    and evaluates — mAP must equal the single-rank hook's."""
+    from hvrnet_tpu.engine.eval_hook import VidEvalHook
+
+    engine, params = tiny_engine
+    ds_cfg = dict(type="VIDSeqDataset",
+                  ann_file=osp.join(mini_vid_8rank,
+                                    "ImageSets/VID_val_videos.txt"),
+                  img_prefix=mini_vid_8rank, pipeline=TEST_PIPELINE,
+                  video_shuffle=False)
+
+    def hook(world_size, rank, work_dir):
+        return VidEvalHook(engine, ds_cfg, work_dir=str(work_dir),
+                           world_size=world_size, rank=rank,
+                           max_long=96, max_short=64)
+
+    single_dir = tmp_path / "ws1"
+    single_dir.mkdir()
+    map_single = hook(1, 0, single_dir)(params, epoch=0)
+    assert map_single is not None
+
+    dist_dir = tmp_path / "ws8"
+    dist_dir.mkdir()
+    for r in range(1, 8):
+        assert hook(8, r, dist_dir)(params, epoch=0) is None
+    map_dist = hook(8, 0, dist_dir)(params, epoch=0)
 
     assert map_dist is not None
     np.testing.assert_allclose(map_dist, map_single, atol=1e-6)

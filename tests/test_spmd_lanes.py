@@ -1,0 +1,181 @@
+"""SPMD multi-chip inference: the lockstep batched lanes shard over a device
+mesh (engine.enable_spmd_lanes) and must reproduce the unsharded batched
+runner — which is itself schedule-exact vs the sequential reference loop
+(test_batched_runner.py).  Runs on the 8-device CPU mesh (conftest)."""
+import os.path as osp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.test_vid_dataset import TEST_PIPELINE, mini_vid  # noqa: F401
+from tests.test_engine_selsa import tiny_selsa_cfg
+
+
+def _mesh(n):
+    from hvrnet_tpu.parallel.mesh import make_mesh
+    return make_mesh(n)
+
+
+def test_spmd_batch_must_divide_mesh():
+    from hvrnet_tpu.engine import SelsaRCNN
+    model_cfg, test_cfg = tiny_selsa_cfg(window_interval=1, proposals=8)
+    engine = SelsaRCNN(model_cfg, None, test_cfg)
+    engine.enable_spmd_lanes(_mesh(4))
+    params = engine.init_params(jax.random.PRNGKey(0))
+    imgs = jnp.zeros((3, 64, 96, 3), jnp.float32)
+    shapes = np.tile([60.0, 90.0], (3, 1)).astype(np.float32)
+    with pytest.raises(ValueError, match="mesh.size"):
+        engine.frame_features_batched(params, imgs, shapes, shapes)
+
+
+@pytest.mark.parametrize("n_dev, batch", [(4, 4), (8, 8), (4, 8)])
+def test_spmd_engine_matches_unsharded(n_dev, batch):
+    """Ring push/detect over the mesh must match the single-device batched
+    programs on IDENTICAL pushed feats (including per-lane mid-stream
+    resets), and the frame program's fc1 projections must agree to conv
+    float-accum tolerance.  NMS-picked boxes are compared end to end on real
+    images instead (test_spmd_runner_equals_sequential) — random-weight RPN
+    scores on noise images are near-tied, so pick identity there is
+    chaotic by construction, not a sharding property."""
+    from hvrnet_tpu.engine import SelsaRCNN
+    model_cfg, test_cfg = tiny_selsa_cfg(window_interval=1, proposals=8)
+    plain = SelsaRCNN(model_cfg, None, test_cfg)
+    spmd = SelsaRCNN(model_cfg, None, test_cfg)
+    spmd.enable_spmd_lanes(_mesh(n_dev))
+    params = plain.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    B, H, W, P = batch, 64, 96, 8
+    shapes = np.tile([60.0, 90.0], (B, 1)).astype(np.float32)
+    sfs = np.tile([1.0, 1.0, 1.0, 1.0], (B, 1)).astype(np.float32)
+
+    # frame program: fc1 parity, conditional on pick identity.  Conv
+    # reduction order differs between a B-lane batch on one device and
+    # B/N-lane batches per device (same float-accum noise class as
+    # batched-vs-sequential), and on noise images random-weight RPN scores
+    # are near-tied — a 1-ulp drift can flip an NMS pick, swapping which box
+    # gets pooled.  So: rows whose picked boxes agree must have matching fc1
+    # (scaled conv tolerance), and most rows must agree (picks flips are the
+    # rare tie case, not the norm).
+    imgs = rng.normal(size=(B, H, W, 3)).astype(np.float32) * 40 + 100
+    feats_p = plain.frame_features_batched(params, jnp.asarray(imgs),
+                                           shapes, shapes)
+    feats_s = spmd.frame_features_batched(params, jnp.asarray(imgs),
+                                          shapes, shapes)
+    a = np.asarray(feats_p["fc1"], np.float32)
+    b = np.asarray(feats_s["fc1"], np.float32)
+    box_a = np.asarray(feats_p["boxes"], np.float32)
+    box_b = np.asarray(feats_s["boxes"], np.float32)
+    same_pick = (np.abs(box_a - box_b) < 1e-2).all(-1)      # (B, P)
+    frac = float(same_pick.mean())
+    assert frac >= 0.75, f"only {frac:.0%} of picks agree across sharding"
+    tol = 1e-3 * max(1.0, float(np.abs(a).max()))
+    np.testing.assert_allclose(a[same_pick], b[same_pick], rtol=1e-3,
+                               atol=tol, err_msg="fc1 on agreeing picks")
+    d = int(feats_p["fc1"].shape[-1])
+
+    state_p = plain.ring_reset_batched(B, d)
+    state_s = spmd.ring_reset_batched(B, d)
+    for step in range(4):
+        feats = dict(
+            fc1=jnp.asarray(rng.normal(size=(B, P, d)).astype(np.float32)),
+            boxes=jnp.asarray(np.abs(
+                rng.normal(size=(B, P, 4))).astype(np.float32) * 20),
+            mask=jnp.asarray(rng.random((B, P)) < 0.9))
+        # all lanes reset on step 0; lane 1 resets again mid-stream
+        reset = np.zeros(B, bool)
+        if step == 0:
+            reset[:] = True
+        if step == 2 and B > 1:
+            reset[1] = True
+        state_p = plain.ring_push_batched(state_p, feats, jnp.asarray(reset))
+        state_s = spmd.ring_push_batched(state_s, feats, reset)
+    for k in ("fc1", "boxes", "masks", "pos", "count"):
+        np.testing.assert_allclose(np.asarray(state_p[k], np.float32),
+                                   np.asarray(state_s[k], np.float32),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)
+
+    out_p = plain.ring_detect_batched(params, state_p, shapes, sfs)
+    out_s = spmd.ring_detect_batched(params, state_s, shapes, sfs)
+    for a, b in zip(jax.tree_util.tree_leaves(out_p),
+                    jax.tree_util.tree_leaves(out_s)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-3, atol=5e-3)
+
+
+def test_spmd_runner_equals_sequential(mini_vid):  # noqa: F811
+    """End to end: the batched runner with SPMD lanes on a 4-device mesh
+    reproduces the sequential single-stream runner on the mini dataset."""
+    from hvrnet_tpu.data import VIDSeqDataset
+    from hvrnet_tpu.engine import (BatchedSlidingWindowRunner, SelsaRCNN,
+                                   SlidingWindowRunner)
+    from hvrnet_tpu.engine.stream import test_frame_stream
+
+    model_cfg, test_cfg = tiny_selsa_cfg(window_interval=1, proposals=8)
+    engine = SelsaRCNN(model_cfg, None, test_cfg)
+    params = engine.init_params(jax.random.PRNGKey(0))
+    ann = osp.join(mini_vid, "ImageSets/VID_val_videos.txt")
+
+    def mkds():
+        return VIDSeqDataset(ann_file=ann, img_prefix=mini_vid,
+                             pipeline=TEST_PIPELINE, test_mode=True,
+                             world_size=1, video_shuffle=False)
+
+    ds1 = mkds()
+    seq = SlidingWindowRunner(engine, params).run(
+        test_frame_stream(ds1, rank=0, max_long=96, max_short=64),
+        num_frames=len(ds1))
+
+    engine.enable_spmd_lanes(_mesh(4))
+    bat = BatchedSlidingWindowRunner(engine, params, batch=4).run(
+        mkds(), rank=0, max_long=96, max_short=64)
+    engine.lanes_mesh = None
+
+    assert len(seq) == len(bat)
+    for i, (a, b) in enumerate(zip(seq, bat)):
+        assert (a is None) == (b is None), i
+        for ca, cb in zip(a, b):
+            assert ca.shape == cb.shape, f"frame {i}"
+            np.testing.assert_allclose(ca, cb, rtol=1e-3, atol=5e-3,
+                                       err_msg=f"frame {i}")
+
+
+def test_spmd_hnmb_multibranch():
+    """HNMB (multi-branch head) detect over the mesh returns both branches,
+    each matching the unsharded batched program."""
+    from tests.test_engine_hnmb import tiny_hnmb_cfg
+    from hvrnet_tpu.engine import HNMBRCNN
+
+    model_cfg, test_cfg = tiny_hnmb_cfg(window_interval=1, proposals=8)
+    plain = HNMBRCNN(model_cfg, None, test_cfg)
+    spmd = HNMBRCNN(model_cfg, None, test_cfg)
+    spmd.enable_spmd_lanes(_mesh(4))
+    params = plain.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(1)
+    B, P = 4, 8
+    d = 1024
+    shapes = np.tile([60.0, 90.0], (B, 1)).astype(np.float32)
+    sfs = np.tile([1.0, 1.0, 1.0, 1.0], (B, 1)).astype(np.float32)
+    state_p = plain.ring_reset_batched(B, d)
+    state_s = spmd.ring_reset_batched(B, d)
+    for step in range(3):
+        feats = dict(
+            fc1=jnp.asarray(rng.normal(size=(B, P, d)).astype(np.float32)),
+            boxes=jnp.asarray(np.abs(
+                rng.normal(size=(B, P, 4))).astype(np.float32) * 20),
+            mask=jnp.asarray(rng.random((B, P)) < 0.9))
+        reset = np.full(B, step == 0, bool)
+        state_p = plain.ring_push_batched(state_p, feats, jnp.asarray(reset))
+        state_s = spmd.ring_push_batched(state_s, feats, reset)
+    out_p = plain.ring_detect_batched(params, state_p, shapes, sfs)
+    out_s = spmd.ring_detect_batched(params, state_s, shapes, sfs)
+    assert isinstance(out_p, list) and len(out_p) == len(out_s) == 2
+    for a, b in zip(jax.tree_util.tree_leaves(out_p),
+                    jax.tree_util.tree_leaves(out_s)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-4, atol=2e-4)

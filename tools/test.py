@@ -70,6 +70,12 @@ def parse_args():
                    help="drive B video streams in lockstep through the "
                         "batched ring-buffer runner (throughput mode for the "
                         "full val sweep; schedule-exact vs sequential)")
+    p.add_argument("--spmd-lanes", action="store_true",
+                   help="with --batched B: shard the B lockstep streams over "
+                        "all local devices in ONE program (B must divide by "
+                        "the device count; single-process multi-chip "
+                        "scale-out — vs --world-size's process-per-rank + "
+                        "part-file merge)")
     p.add_argument("--trace", default=None,
                    help="capture a jax.profiler trace to this directory")
     p.add_argument("--timing", action="store_true",
@@ -127,6 +133,9 @@ def main():
     import contextlib
     timer = PhaseTimer() if args.timing else None
     trace_ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
+    if args.spmd_lanes and not args.batched:
+        raise SystemExit("--spmd-lanes requires --batched B (the lanes are "
+                         "the batched runner's streams)")
     if args.batched:
         if args.aug_test:
             raise SystemExit("--batched and --aug-test are exclusive")
@@ -141,6 +150,16 @@ def main():
             raise SystemExit("--pair-features applies to the sequential "
                              "runner; --batched already batches the feature "
                              "stage across streams")
+        if args.spmd_lanes:
+            import jax
+            from hvrnet_tpu.parallel.mesh import make_mesh
+            n_dev = len(jax.devices())
+            if args.batched % n_dev:
+                raise SystemExit(f"--spmd-lanes needs --batched divisible by "
+                                 f"the device count ({n_dev})")
+            engine.enable_spmd_lanes(make_mesh(n_dev))
+            logger.info("SPMD lanes: %d streams over %d devices",
+                        args.batched, n_dev)
         runner = BatchedSlidingWindowRunner(
             engine, params, batch=args.batched, window=args.window,
             branch=args.branch, progress_hook=progress,
