@@ -70,6 +70,12 @@ def build_engine(model: str, window=None, stream: bool = False):
         if model != "hvrnet":
             raise SystemExit("--stream is an HVRNet ring feature")
         engine.stream = True
+        # production default (SlidingWindowRunner does the same): the
+        # speculative-rollback step — health flag in state instead of the
+        # exact-repair lax.cond (the cond costs ~0.28 ms/step at T=21 as a
+        # fusion barrier even when never taken; the runner replays flagged
+        # chunks exactly on the host).  --cond-repair measures the old path.
+        engine.stream_rollback = True
     return engine
 
 
@@ -166,6 +172,10 @@ def main():
                          "point, round 3; --exact forces the full-window "
                          "recompute)")
     ap.add_argument("--exact", dest="stream", action="store_false")
+    ap.add_argument("--cond-repair", action="store_true",
+                    help="streaming with the in-program exact-repair "
+                         "lax.cond instead of the speculative-rollback "
+                         "health flag (the pre-round-4 path; for A/B)")
     ap.add_argument("--bind", action="store_true",
                     help="closure-bind params into the per-frame programs "
                          "(equality-tested; interleaved A/B on this relay: "
@@ -194,6 +204,10 @@ def main():
 
     engine = build_engine(args.model, window=args.window,
                           stream=bool(args.stream))
+    if args.cond_repair:
+        if not args.stream:
+            raise SystemExit("--cond-repair applies to the streaming ring")
+        engine.stream_rollback = False
     # parameter init runs on the host CPU backend (hundreds of tiny programs
     # are slow over the device tunnel), then transfers once.
     with jax.default_device(jax.local_devices(backend="cpu")[0]):

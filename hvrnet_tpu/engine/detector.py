@@ -1052,6 +1052,18 @@ class HNMBRCNN(_RingMixin, BaseEngine):
     #: (error bounded by the ≤T-step row lifetime; see the ops docstring).
     stream: bool = False
 
+    #: speculative-rollback streaming: the slide commits WITHOUT the exact-
+    #: repair `lax.cond` (which costs ~0.28 ms/step at T=21 and ~1.35 at
+    #: T=63 as a fusion barrier even when never taken — BASELINE.md round
+    #: 3); instead a sticky health flag rides in the ring state and the
+    #: HOST replays flagged chunks exactly + dispatches `stream_rebuild` —
+    #: SlidingWindowRunner implements the protocol (flag piggybacks on the
+    #: existing once-per-16-frames chunk pull, so the steady state pays
+    #: zero extra round trips).  Enabled by the runner / bench for fused
+    #: stream engines; direct split ring_push/ring_detect users keep the
+    #: in-program cond path.
+    stream_rollback: bool = False
+
     def _stream_dims(self):
         bh = self.model_cfg["bbox_head"]
         dim = tuple(bh.get("dim", (1024, 1024, 1024)))
@@ -1098,6 +1110,9 @@ class HNMBRCNN(_RingMixin, BaseEngine):
             # cond (ops/streaming_attention.py docstring)
             M1=jnp.full((R, T), -jnp.inf, jnp.float32),
             M3=jnp.full((R, T), -jnp.inf, jnp.float32))
+        if self.stream_rollback:
+            # sticky health flag for the host-replay rollback protocol
+            state["flag"] = jnp.zeros((), bool)
         return state
 
     _STREAM_KEYS = ("fc1", "q1", "k1", "fc3s", "q3", "k3",
@@ -1108,15 +1123,16 @@ class HNMBRCNN(_RingMixin, BaseEngine):
         hst["mask"] = state["masks"]
         return hst
 
-    def _stream_push_body(self, t_dim: int):
+    def _stream_push_body(self, t_dim: int, rollback: bool = False):
         mod = self.module
 
         def fn(params, state, feats):
             pos = (state["pos"] + 1) % t_dim
-            hst = mod.apply(params, self._head_view(state),
+            upd = mod.apply(params, self._head_view(state),
                             feats["fc1"].astype(state["fc1"].dtype),
-                            feats["mask"], pos,
+                            feats["mask"], pos, rollback,
                             method=mod.bbox_stream_update)
+            hst, bad = upd if rollback else (upd, None)
             out = dict(state)
             out.update({k: hst[k] for k in self._STREAM_KEYS})
             out["masks"] = hst["mask"]
@@ -1124,13 +1140,16 @@ class HNMBRCNN(_RingMixin, BaseEngine):
                 state["boxes"], feats["boxes"][None], (pos, 0, 0))
             out["pos"] = pos
             out["count"] = jnp.minimum(state["count"] + 1, t_dim)
+            if rollback:
+                out["flag"] = state["flag"] | bad
             return out
 
         return fn
 
     @functools.lru_cache(maxsize=2)
-    def _stream_push_fn(self, t_dim: int):
-        return jax.jit(self._stream_push_body(t_dim), donate_argnums=(1,))
+    def _stream_push_fn(self, t_dim: int, rollback: bool = False):
+        return jax.jit(self._stream_push_body(t_dim, rollback),
+                       donate_argnums=(1,))
 
     def _check_stream_no_multipass(self):
         """The streaming ring caches the single-pass spliced graph; the
@@ -1148,22 +1167,29 @@ class HNMBRCNN(_RingMixin, BaseEngine):
         self._check_stream_no_multipass()
         if params is None:
             raise ValueError("streaming ring_push needs params")
+        rb = self.stream_rollback
         if params is self._bound_params:
             fn = self._bound_fn(
-                ("stream_push", self.window),
-                lambda: self._bind_const(self._stream_push_body(self.window),
-                                         self._bb(params), donate=(0,)))
+                ("stream_push", self.window, rb),
+                lambda: self._bind_const(
+                    self._stream_push_body(self.window, rb),
+                    self._bb(params), donate=(0,)))
             return fn(state, feats)
-        return self._stream_push_fn(self.window)(self._bb(params), state,
-                                                 feats)
+        return self._stream_push_fn(self.window, rb)(self._bb(params), state,
+                                                     feats)
 
     def _stream_decode(self, params, state, img_shape, scale_factor,
-                       t_dim: int, key_dim: int, branch):
+                       t_dim: int, key_dim: int, branch,
+                       rollback: bool = False):
         mod = self.module
         rcnn_cfg = self.test_cfg["rcnn"]
         center = (state["pos"] + 1 + key_dim) % t_dim
-        cls_list, reg_list = mod.apply(params, self._head_view(state), center,
-                                       method=mod.bbox_stream_forward)
+        fwd = mod.apply(params, self._head_view(state), center, rollback,
+                        method=mod.bbox_stream_forward)
+        if rollback:
+            cls_list, reg_list, bad = fwd
+        else:
+            (cls_list, reg_list), bad = fwd, None
         boxes_c = jax.lax.dynamic_index_in_dim(state["boxes"], center, 0,
                                                keepdims=False)
         mask_c = jax.lax.dynamic_index_in_dim(state["masks"], center, 0,
@@ -1175,7 +1201,8 @@ class HNMBRCNN(_RingMixin, BaseEngine):
                                self.target_means, self.target_stds,
                                rescale=True, cfg=rcnn_cfg, valid=mask_c)
                 for cls, reg in pairs]
-        return outs[0] if branch is not None else outs
+        outs = outs[0] if branch is not None else outs
+        return (outs, bad) if rollback else outs
 
     def _stream_detect_body(self, t_dim: int, key_dim: int, branch=None):
         def fn(params, state, img_shape, scale_factor):
@@ -1193,6 +1220,13 @@ class HNMBRCNN(_RingMixin, BaseEngine):
             return super().ring_detect(params, state, img_shape, scale_factor,
                                        key_dim, branch)
         self._check_stream_no_multipass()
+        if self.stream_rollback:
+            # the split detect has no state return to carry the health flag;
+            # rollback mode detects via the fused ring_step (the runner's
+            # steady state) — a silent cond-repair here would hide corrupt
+            # NL1 accumulators the flag protocol is supposed to surface
+            raise ValueError("stream_rollback detects via ring_step; set "
+                             "stream_rollback=False for split push/detect")
         kd = self.key_dim if key_dim is None else key_dim
         if params is self._bound_params:
             fn = self._bound_fn(
@@ -1205,15 +1239,17 @@ class HNMBRCNN(_RingMixin, BaseEngine):
         return fn(self._bb(params), state, _dev_f32(img_shape),
                   _dev_f32(scale_factor))
 
-    def _stream_step_body(self, t_dim: int, key_dim: int, branch=None):
+    def _stream_step_body(self, t_dim: int, key_dim: int, branch=None,
+                          rollback: bool = False):
         mod = self.module
 
         def fn(params, state, feats, img_shape, scale_factor):
             pos = (state["pos"] + 1) % t_dim
-            hst = mod.apply(params, self._head_view(state),
+            upd = mod.apply(params, self._head_view(state),
                             feats["fc1"].astype(state["fc1"].dtype),
-                            feats["mask"], pos,
+                            feats["mask"], pos, rollback,
                             method=mod.bbox_stream_update)
+            hst, bad_u = upd if rollback else (upd, None)
             new = dict(state)
             new.update({k: hst[k] for k in self._STREAM_KEYS})
             new["masks"] = hst["mask"]
@@ -1221,16 +1257,54 @@ class HNMBRCNN(_RingMixin, BaseEngine):
                 state["boxes"], feats["boxes"][None], (pos, 0, 0))
             new["pos"] = pos
             new["count"] = jnp.minimum(state["count"] + 1, t_dim)
-            out = self._stream_decode(params, new, img_shape, scale_factor,
-                                      t_dim, key_dim, branch)
+            if rollback:
+                # decode from the slid (unrepaired) state; both the slide's
+                # and the decode splice's health verdicts stick in the flag
+                out, bad_d = self._stream_decode(
+                    params, new, img_shape, scale_factor, t_dim, key_dim,
+                    branch, rollback=True)
+                new["flag"] = state["flag"] | bad_u | bad_d
+            else:
+                out = self._stream_decode(params, new, img_shape,
+                                          scale_factor, t_dim, key_dim,
+                                          branch)
             return new, out
 
         return fn
 
     @functools.lru_cache(maxsize=4)
-    def _stream_step_fn(self, t_dim: int, key_dim: int, branch=None):
-        return jax.jit(self._stream_step_body(t_dim, key_dim, branch),
+    def _stream_step_fn(self, t_dim: int, key_dim: int, branch=None,
+                        rollback: bool = False):
+        return jax.jit(self._stream_step_body(t_dim, key_dim, branch,
+                                              rollback),
                        donate_argnums=(1,))
+
+    # ---------------------------------------------- rollback recovery program
+    def _stream_rebuild_body(self):
+        mod = self.module
+
+        def fn(params, state):
+            hst = mod.apply(params, self._head_view(state),
+                            method=mod.bbox_stream_rebuild)
+            out = dict(state)
+            out.update({k: hst[k] for k in self._STREAM_KEYS})
+            if "flag" in state:
+                out["flag"] = jnp.zeros((), bool)
+            return out
+
+        return fn
+
+    @functools.lru_cache(maxsize=1)
+    def _stream_rebuild_fn(self):
+        return jax.jit(self._stream_rebuild_body(), donate_argnums=(1,))
+
+    def stream_rebuild(self, params, state):
+        """Exact rebuild of the streaming accumulators from the current ring
+        caches, clearing the health flag — the recovery half of the rollback
+        protocol (one (R, R) pass per block; dispatched by the runner only
+        after a flushed chunk's flag read True, i.e. vanishingly rarely)."""
+        self._check_stream_no_multipass()
+        return self._stream_rebuild_fn()(self._bb(params), state)
 
     def ring_step(self, params, state, feats, img_shape, scale_factor,
                   key_dim: Optional[int] = None, branch=None):
@@ -1239,15 +1313,16 @@ class HNMBRCNN(_RingMixin, BaseEngine):
                                      scale_factor, key_dim, branch)
         self._check_stream_no_multipass()
         kd = self.key_dim if key_dim is None else key_dim
+        rb = self.stream_rollback
         if params is self._bound_params:
             fn = self._bound_fn(
-                ("stream_step", self.window, kd, branch),
+                ("stream_step", self.window, kd, branch, rb),
                 lambda: self._bind_const(
-                    self._stream_step_body(self.window, kd, branch),
+                    self._stream_step_body(self.window, kd, branch, rb),
                     self._bb(params), donate=(0,)))
             return fn(state, feats, _dev_f32(img_shape),
                       _dev_f32(scale_factor))
-        fn = self._stream_step_fn(self.window, kd, branch)
+        fn = self._stream_step_fn(self.window, kd, branch, rb)
         return fn(self._bb(params), state, feats,
                   _dev_f32(img_shape),
                   _dev_f32(scale_factor))

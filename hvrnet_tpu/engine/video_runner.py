@@ -47,7 +47,8 @@ class SlidingWindowRunner:
                  use_ring: Optional[bool] = None, timer=None,
                  prepad_provider=None, aug: bool = False,
                  flush_every: int = 16, pair_features: int = 1,
-                 bind: bool = False):
+                 bind: bool = False,
+                 speculative_stream: Optional[bool] = None):
         self.engine = engine
         self.params = params
         # Closure-bind the fixed params into the steady-state programs
@@ -77,6 +78,23 @@ class SlidingWindowRunner:
             use_ring = (hasattr(engine, "ring_reset")
                         and self.window == engine.window)
         self.use_ring = use_ring and not aug   # aug path stacks host-side
+        # Speculative-rollback streaming (the default for fused stream
+        # engines): the stream step carries a sticky health flag instead of
+        # the in-program exact-repair lax.cond (~0.28 ms/step fusion-barrier
+        # cost at T=21 even when never taken, BASELINE.md round 3).  The
+        # flag piggybacks on the existing once-per-flush_every chunk pull;
+        # on the vanishingly-rare True this runner replays the chunk's
+        # windows EXACTLY (window_detect over a kept feats history) and
+        # dispatches engine.stream_rebuild — so emitted detections are
+        # identical-or-better vs the cond path (replayed ones are exact).
+        spec = True if speculative_stream is None else bool(speculative_stream)
+        self.speculative = (spec and self.use_ring
+                            and getattr(engine, "stream", False)
+                            and hasattr(engine, "ring_step")
+                            and hasattr(engine, "stream_rebuild"))
+        if getattr(engine, "stream", False) and hasattr(engine,
+                                                        "stream_rollback"):
+            engine.stream_rollback = self.speculative
         # t_data/t_net-style phase accounting the reference computed but
         # never surfaced (tools/test.py:55-56,195-196)
         self.timer = timer
@@ -124,6 +142,12 @@ class SlidingWindowRunner:
         n_cached = 0
         offsets: deque = deque(maxlen=T)
         meta: deque = deque(maxlen=T)
+        # rollback protocol: per-push feats history for exact host replay of
+        # a flagged chunk.  A chunk's oldest detection looks back at most
+        # T + flush_every − 1 pushes (front-pad pushes only precede the
+        # FIRST detection; interior/drain = one push per detection).
+        hist: deque = deque(maxlen=T + self.flush_every)
+        push_count = 0
 
         can_fuse = self.use_ring and hasattr(self.engine, "ring_step")
 
@@ -131,10 +155,13 @@ class SlidingWindowRunner:
             """Push a frame's caches; when ``detect`` and the window is full,
             the push and the center detection run as ONE device program
             (engine.ring_step)."""
-            nonlocal ring_state, cache, n_cached
+            nonlocal ring_state, cache, n_cached, push_count
             n_cached = min(n_cached + 1, T)
             offsets.append(frame["frame_offset"])
             meta.append(fmeta)
+            push_count += 1
+            if self.speculative:
+                hist.append(feats)
             do_detect = detect and n_cached == T
             if self.use_ring:
                 if do_detect and can_fuse:
@@ -194,12 +221,46 @@ class SlidingWindowRunner:
         # ≈ 84 ms → ~2 ms/frame amortized.
         pending: List = []
 
+        def _replay_exact(push_no, m):
+            """Exact full-window recompute of the detection emitted at push
+            ``push_no`` from the feats history — the rollback protocol's
+            replacement for a possibly-corrupt streaming output.  Equals the
+            non-streaming window path by construction (the same
+            window_detect program the host-cache fallback runs)."""
+            newest = len(hist) - 1 - (push_count - push_no)
+            window = [hist[newest - T + 1 + j] for j in range(T)]
+            fc1 = jnp.stack([c["fc1"] for c in window])
+            boxes = jnp.stack([c["boxes"] for c in window])
+            masks = jnp.stack([c["mask"] for c in window])
+            out = self.engine.window_detect(
+                self.params, fc1, boxes, masks, m["img_shape"],
+                m["scale_factor"], branch=self.device_branch,
+                key_dim=self.key_dim)
+            if isinstance(out, list):
+                out = out[self.branch]
+            return out
+
         def _flush_pending():
+            nonlocal ring_state
             if not pending:
                 return
             import jax
-            host = jax.device_get([p[0] for p in pending])
-            for (_, fid), (dets, labels, mask) in zip(pending, host):
+            spec = (self.speculative and ring_state is not None
+                    and "flag" in ring_state)
+            if spec:
+                host, flagged = jax.device_get(
+                    ([p[0] for p in pending], ring_state["flag"]))
+            else:
+                host, flagged = jax.device_get([p[0] for p in pending]), False
+            if flagged:
+                # a streaming accumulator degenerated somewhere in this
+                # chunk: replay every window exactly, then rebuild the
+                # accumulators from the ring caches (clears the flag)
+                host = jax.device_get(
+                    [_replay_exact(pno, m) for _, _, m, pno in pending])
+                ring_state = self.engine.stream_rebuild(self.params,
+                                                        ring_state)
+            for (_, fid, _, _), (dets, labels, mask) in zip(pending, host):
                 results[fid - 1] = _dets_to_result(dets, labels, mask,
                                                    self.num_classes)
             if self.progress_hook:
@@ -210,7 +271,7 @@ class SlidingWindowRunner:
             if isinstance(out, list):       # HVRNet: one det set per branch
                 out = out[self.branch]
             fid = m["frame_start_id"] + offsets[self.key_dim]
-            pending.append((tuple(out), fid))
+            pending.append((tuple(out), fid, m, push_count))
             if len(pending) >= self.flush_every:
                 _flush_pending()
 
@@ -278,6 +339,11 @@ class SlidingWindowRunner:
                              scale_factors=[frame["scale_factor"]] * A,
                              flips=tuple(frame["flips"]))
             if flag == 0:      # new video: reset + front-pad
+                if self.speculative:
+                    # the previous video's tail chunk must be flag-checked
+                    # against ITS ring state before the reset discards it
+                    _flush_pending()
+                    hist.clear()
                 if self.use_ring:
                     ring_state = self.engine.ring_reset(
                         int(feats["fc1"].shape[-1]))

@@ -110,6 +110,10 @@ class HRNMPBBoxHead(nn.Module):
     triplet_margin: float = 10.0
     compat_inverted_mining: bool = True
     attention_mesh: Any = None      # K/V sequence-parallel mesh (optional)
+    #: streaming-repair anchor-gap threshold in nats (None → the ops-level
+    #: default, streaming_attention.THETA).  Configurable mainly so tests
+    #: can force the health flag / repair to fire on benign inputs.
+    stream_theta: Any = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -341,7 +345,7 @@ class HRNMPBBoxHead(nn.Module):
                     k3=self.selsa_3.k_proj(fc3s))
 
     def stream_update(self, st: dict, fc1_new: jnp.ndarray,
-                      mask_new: jnp.ndarray, slot) -> dict:
+                      mask_new: jnp.ndarray, slot, rollback: bool = False):
         """Slide the window: evict ring slot ``slot``'s keys from the NL1/NL3
         accumulators, insert the arriving frame's (one fused pass — see
         ops/streaming_attention.slide), overwrite the stationary caches, and
@@ -356,6 +360,15 @@ class HRNMPBBoxHead(nn.Module):
         rebuilds share ONE `lax.cond` (each cond boundary copies its big
         operand tuple even when the cheap branch runs — two conds cost ~0.23
         ms/step profiled).
+
+        ``rollback=True`` is the speculative mode: NO in-program repair —
+        the slid accumulators are committed as-is and the health verdict is
+        returned as a scalar alongside the state, ``(out, bad)``.  The
+        caller (engine ring_step + SlidingWindowRunner) carries the flag
+        stickily in the ring state and replays flagged windows exactly on
+        the host (the rollback protocol, engine/detector.py stream_rebuild),
+        so the hot step pays neither the cond's fusion barrier nor its
+        pass-through copies (~0.23-0.28 ms/step at T=21, more at T=63).
         """
         from ...ops.streaming_attention import (degenerate_rows, init_rows,
                                                 slide)
@@ -399,6 +412,19 @@ class HRNMPBBoxHead(nn.Module):
         acc3, M3 = slide_block("3", proj["q3"], proj["k3"], proj["fc3s"],
                                self.selsa_3.scale)
 
+        from ...ops.streaming_attention import THETA
+        th = THETA if self.stream_theta is None else float(self.stream_theta)
+        if rollback:
+            # speculative: commit the slid accumulators, report health —
+            # the cond (and its fusion barrier) never enters the program
+            bad = (degenerate_rows(acc1, M1, th).any()
+                   | degenerate_rows(acc3, M3, th).any())
+            out["m1"], out["l1"], out["a1"], out["M1"] = \
+                acc1["m"], acc1["l"], acc1["a"], M1
+            out["m3"], out["l3"], out["a3"], out["M3"] = \
+                acc3["m"], acc3["l"], acc3["a"], M3
+            return out, bad
+
         # ONE exact-rebuild cond for both blocks: rebuilding a healthy block
         # alongside a degenerate one is still exact, and repairs are rare.
         # The optimization_barrier pins the slide computation OUTSIDE the
@@ -407,7 +433,8 @@ class HRNMPBBoxHead(nn.Module):
         # predicate instead of overlapping — profiled at 0.9 ms/step of
         # conditional time at T=63 vs ~0 with the barrier.
         acc1, M1, acc3, M3 = jax.lax.optimization_barrier((acc1, M1, acc3, M3))
-        bad = degenerate_rows(acc1, M1).any() | degenerate_rows(acc3, M3).any()
+        bad = (degenerate_rows(acc1, M1, th).any()
+               | degenerate_rows(acc3, M3, th).any())
 
         def rebuild(_):
             a1, m1 = init_rows(out["q1"], out["k1"], out["fc1"], mask_all,
@@ -426,7 +453,7 @@ class HRNMPBBoxHead(nn.Module):
             acc3["m"], acc3["l"], acc3["a"], M3
         return out
 
-    def stream_forward(self, st: dict, center):
+    def stream_forward(self, st: dict, center, rollback: bool = False):
         """Key-frame predictions from the streaming state (≡ `forward_fc1`
         with cur = ring slot ``center``, up to streaming-softmax rounding).
 
@@ -434,9 +461,13 @@ class HRNMPBBoxHead(nn.Module):
         key-frame splice (ref:865-868) as a NON-persistent evict/insert of
         the center slot's stationary rows vs the fresh fc_all_2 rows, plus
         one exact pass for the center rows' fresh queries.
+
+        ``rollback=True``: the splice slide's repair cond is skipped and its
+        health verdict returned instead — ``(cls_list, reg_list, bad)`` —
+        for the host-replay rollback protocol (see stream_update).
         """
-        from ...ops.streaming_attention import (finalize, init_rows, repair,
-                                                slide)
+        from ...ops.streaming_attention import (degenerate_rows, finalize,
+                                                init_rows, repair, slide)
         T, P = st["mask"].shape
         R = T * P
         mask_all = st["mask"].reshape(R)
@@ -472,7 +503,13 @@ class HRNMPBBoxHead(nn.Module):
         acc3, col3 = slide(acc3, q3, take_rows(st["k3"]), take_rows(st["fc3s"]),
                            mask_c, k3f, fc3f, mask_c, scale3)
         M3 = jax.lax.dynamic_update_slice(st["M3"], col3[:, None], (0, center))
-        acc3, _ = repair(acc3, M3, q3, k3_eff, fc3_eff, mask_all, scale3, T)
+        from ...ops.streaming_attention import THETA
+        th = THETA if self.stream_theta is None else float(self.stream_theta)
+        if rollback:
+            bad = degenerate_rows(acc3, M3, th).any()
+        else:
+            acc3, _ = repair(acc3, M3, q3, k3_eff, fc3_eff, mask_all, scale3,
+                             T, theta=th)
         att3 = finalize(acc3)                                   # (R, D)
 
         acc_c = init_rows(q3f, k3_eff, fc3_eff, mask_all, scale3)
@@ -485,7 +522,29 @@ class HRNMPBBoxHead(nn.Module):
         att4 = self.selsa_4(fc4_c, fc4, mask_all)
         fc_all_4 = nn.relu(fc4_c + att4)
         cls_final, reg_final = self._branch(fc_all_4, final=True)
+        if rollback:
+            return [cls_branch, cls_final], [reg_branch, reg_final], bad
         return [cls_branch, cls_final], [reg_branch, reg_final]
+
+    def stream_rebuild(self, st: dict) -> dict:
+        """Exact rebuild of BOTH blocks' accumulators + health tables from
+        the current ring caches — the rollback protocol's recovery program
+        (the repair branch of stream_update, run unconditionally).  One
+        (R, R) pass per block; dispatched by the host only when a flushed
+        chunk's health flag was set, i.e. vanishingly rarely."""
+        from ...ops.streaming_attention import init_rows
+        T, P = st["mask"].shape
+        mask_all = st["mask"].reshape(T * P)
+        out = dict(st)
+        a1, M1 = init_rows(st["q1"], st["k1"], st["fc1"], mask_all,
+                           self.selsa_1.scale, slots=T)
+        a3, M3 = init_rows(st["q3"], st["k3"], st["fc3s"], mask_all,
+                           self.selsa_3.scale, slots=T)
+        out["m1"], out["l1"], out["a1"], out["M1"] = \
+            a1["m"], a1["l"], a1["a"], M1
+        out["m3"], out["l3"], out["a3"], out["M3"] = \
+            a3["m"], a3["l"], a3["a"], M3
+        return out
 
     def __call__(self, bbox_feat, *args, mode: str = "test", **kw):
         if mode == "train":

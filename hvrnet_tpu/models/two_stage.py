@@ -97,13 +97,20 @@ class TwoStageModule(nn.Module):
     def bbox_forward(self, pooled, *args, **kw):
         return self.bbox_head_m(pooled, *args, **kw)
 
-    def bbox_stream_update(self, st, fc1_new, mask_new, slot):
+    def bbox_stream_update(self, st, fc1_new, mask_new, slot,
+                           rollback: bool = False):
         """Streaming sliding-window slide (hrnmp_bbox_head.stream_update)."""
-        return self.bbox_head_m.stream_update(st, fc1_new, mask_new, slot)
+        return self.bbox_head_m.stream_update(st, fc1_new, mask_new, slot,
+                                              rollback=rollback)
 
-    def bbox_stream_forward(self, st, center):
+    def bbox_stream_forward(self, st, center, rollback: bool = False):
         """Streaming sliding-window detect (hrnmp_bbox_head.stream_forward)."""
-        return self.bbox_head_m.stream_forward(st, center)
+        return self.bbox_head_m.stream_forward(st, center, rollback=rollback)
+
+    def bbox_stream_rebuild(self, st):
+        """Exact accumulator rebuild (hrnmp_bbox_head.stream_rebuild) — the
+        rollback protocol's recovery program."""
+        return self.bbox_head_m.stream_rebuild(st)
 
     def bbox_forward_train_hrnmp(self, pooled, labels_key, valid_mask=None):
         return self.bbox_head_m.forward_train(pooled, labels_key, valid_mask)
