@@ -166,7 +166,13 @@ class StemBlock(nn.Module):
         B, H, W, C = x.shape
         dn = ("NHWC", "HWIO", "NHWC")
         if H % 4 == 0 and W % 4 == 0 and C == 3:
-            # one-hot space-to-depth conv: (H, W, 3) -> (H/4, W/4, 48)
+            # one-hot space-to-depth conv: (H, W, 3) -> (H/4, W/4, 48).
+            # The conv form is the best of three lowerings tried for this
+            # layout change (trace, BASELINE.md round 4): plain 7×7/2 conv
+            # ~0.8-1.2 ms in input layout fusions; one-hot conv ~0.26 ms
+            # (copy + select_bitcast retile of the 3-channel input); pure
+            # reshape/transpose ~0.37 ms (XLA lowers the (H/4,4,W/4,4,3)
+            # permute as copy+reshape, measured backbone 2.054 → 2.180 ms).
             eye = jnp.eye(48, dtype=self.dtype).reshape(4, 4, 3, 48)
             xs = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), eye, (4, 4), ((0, 0), (0, 0)),

@@ -127,11 +127,14 @@ def _dispatch(q, k, v, bias, scale):
     # (ceil(nq/tq) passes) — the binding term once nk is large (77 MB of
     # K/V at the 63×300 point).  Small-query calls (the streaming ring's
     # NL2/NL4: nq=300) take one pass; big-query calls (the exact ring) use
-    # tq=512 → half the K/V re-reads of the round-2 tq=256.  512 is the
-    # VMEM ceiling: tq=1024 at d=1024 needs a 17 MB scoped stack (q + f32
-    # acc + f32 out + k/v blocks, double-buffered) vs the 16 MB limit —
-    # observed as a compile-time scoped-vmem OOM.
-    tq = min(512, max(256, _round_up(q.shape[0], 256)))
+    # tq=512 → half the K/V re-reads of the round-2 tq=256.  The cap is the
+    # 16 MB scoped-VMEM ceiling and is DTYPE-AWARE: double-buffered
+    # q/k/v/out blocks at d=1024 cost ~12 MB in bf16 at tq=512 but ~18.5 MB
+    # in f32 (each observed as a compile-time scoped-vmem OOM one notch up:
+    # bf16 tq=1024 round 3, f32 tq=512 at the 63×300 point round 4), so f32
+    # inputs cap at tq=256 (~13 MB).
+    cap = 512 if max(q.dtype.itemsize, k.dtype.itemsize) <= 2 else 256
+    tq = min(cap, max(256, _round_up(q.shape[0], 256)))
     # platform-dependent lowering: the Pallas kernel on TPU, the XLA
     # expression on CPU (e.g. host-side init / tests)
     return jax.lax.platform_dependent(

@@ -324,6 +324,11 @@ def test_test_cli_spmd_lanes(mini_vid, tmp_path):  # noqa: F811
     with open(cfg_path, "w") as f:
         f.write(TINY_CFG.format(root=mini_vid))
     out = str(tmp_path / "results_spmd.pkl")
+    # os._exit(0) after main: the 8-CPU-device JAX runtime intermittently
+    # SIGSEGVs during interpreter teardown under parallel test load (twice
+    # observed; the same command standalone exits 0 and the results file was
+    # complete in every case).  Main's own failures still propagate — the
+    # hard exit runs only after runpy returns cleanly.
     r = subprocess.run(
         [sys.executable, "-c",
          "import jax; jax.config.update('jax_platforms','cpu');"
@@ -331,7 +336,8 @@ def test_test_cli_spmd_lanes(mini_vid, tmp_path):  # noqa: F811
          "import sys; sys.argv=['test.py', %r, '--out', %r, '--batched', '8',"
          " '--spmd-lanes'];"
          "sys.path.insert(0, %r);"
-         "import runpy; runpy.run_path(%r, run_name='__main__')"
+         "import runpy; runpy.run_path(%r, run_name='__main__');"
+         "import os; os._exit(0)"
          % (cfg_path, out, REPO, osp.join(REPO, "tools/test.py"))],
         capture_output=True, timeout=900, cwd=REPO, text=True)
     assert r.returncode == 0, r.stderr[-2000:]

@@ -111,26 +111,29 @@ def _np_softmax(x):
     return e / e.sum(axis=1, keepdims=True)
 
 
-def np_hrnmp_forward_test(p, pooled_flat, s, l, nongt):
+def np_hrnmp_forward_test(p, pooled_flat, s, l, nongt, dim=None):
     """forward_test (hrnmp_bbox_head.py:800-909) on HWC-flattened pooled
     feats: NL1/NL2 over all rows, branch heads on the key rows, NL3 splice
     (fc1 outside cur / NL2-relu inside, ref:865-868), NL4 key-query pass,
-    final heads.  Returns ([cls_branch, cls_final], [reg_branch, reg_final])."""
+    final heads.  Returns ([cls_branch, cls_final], [reg_branch, reg_final]).
+    ``dim`` defaults to this module's tiny D; tools/parity_full_shape.py
+    reuses the oracle at the real fc_feat_dim=1024."""
+    dim = D if dim is None else dim
     fc1 = np_linear(p["fc_new_1"], pooled_flat)
-    att1 = np_nl_block(p["selsa_1"], fc1, fc1[:nongt], D)
+    att1 = np_nl_block(p["selsa_1"], fc1, fc1[:nongt], dim)
     fc_all_1 = relu(fc1 + att1)
     fc2 = np_linear(p["fc_new_2"], fc_all_1)
-    att2 = np_nl_block(p["selsa_2"], fc2, fc2[:nongt], D)
+    att2 = np_nl_block(p["selsa_2"], fc2, fc2[:nongt], dim)
     fc_all_2 = relu(fc2 + att2)
     branch_in = fc_all_2[s:s + l]
     cls_b = np_linear(p["fc_cls"], branch_in)
     reg_b = np_linear(p["fc_reg"], branch_in)
     fc3_in = np.concatenate([fc1[:s], fc_all_2[s:s + l], fc1[s + l:]], axis=0)
     fc3 = np_linear(p["fc_new_3"], fc3_in)
-    att3 = np_nl_block(p["selsa_3"], fc3, fc3[:nongt], D)
+    att3 = np_nl_block(p["selsa_3"], fc3, fc3[:nongt], dim)
     fc_all_3 = relu(fc3 + att3)
     fc4 = np_linear(p["fc_new_4"], fc_all_3)
-    att4 = np_nl_block(p["selsa_4"], fc4[s:s + l], fc4[:nongt], D)
+    att4 = np_nl_block(p["selsa_4"], fc4[s:s + l], fc4[:nongt], dim)
     fc_all_4 = relu(fc4[s:s + l] + att4)
     cls_f = np_linear(p["fc_cls_2"], fc_all_4)
     reg_f = np_linear(p["fc_reg_2"], fc_all_4)

@@ -1,0 +1,658 @@
+"""Full-operating-point numerical evidence: torch-oracle parity + bf16 budget.
+
+Every per-op / tiny-model parity test runs at reduced canvases; this script
+runs the REAL reference operating point — (1000, 600) keep-ratio input on the
+608×1008 canvas, 6000→300-proposal RPN, fc_feat_dim=1024, 31 classes, T=21
+window (6300 attention tokens) and the T=63 HVRNet point (18 900 tokens) —
+and produces two kinds of evidence:
+
+1. **f32 ≡ torch-oracle** (``--model selsa|hvrnet``): a reference-named torch
+   model (R101 stages 1-3, dilated-C5 shared head + external conv, RPN, head
+   fcs) is randomly initialized, exported as a reference-style state_dict,
+   converted (`utils/checkpoint.py`) onto the real-config engine, and the
+   full jax f32 test path (run under ``jax.default_matmul_precision
+   ("highest")``) is compared to a torch+numpy-oracle pipeline — the same
+   oracle construction as tests/test_full_model_parity{,_hnmb}.py, at full
+   shape.  Reference path anchors: `/root/reference/mmdet/models/detectors/
+   selsa_rcnn.py:247-338`, `hnl_rcnn.py` test graph, `tools/hnl_test.py:757`,
+   `configs/faster_rcnn_r101_selsa_c5.py:135-137,170-181`.
+2. **bf16(+streaming) budget at full shape**, two sub-claims:
+   (a) full-canvas RPN **pick agreement** — the f32 and bf16 engines run the
+   real frame path (R101 + RPN + 6000-candidate NMS at 608×1008) on the same
+   structured frames and the kept-proposal sets are compared (rank
+   decisions survive dtype; measured 1.0);
+   (b) **raw head outputs at the real token count** — the real-config head
+   (fc_feat_dim=1024, T×300 tokens) is fed identical unit-scale
+   temporally-correlated features and f32-window vs bf16-window vs
+   bf16-streaming-ring raw cls/reg drift is measured relative to output
+   scale.  Raw + unit-scale because a random backbone supports nothing
+   stronger: untrained FrozenBN explodes activations to ~1e11 std at c5,
+   and `delta2bbox` exponentiates random regs — both measured to produce
+   chaos with zero bf16 signal.  The TRAINED budget
+   (tests/test_bf16_budget.py ΔmAP 0.000 / 0.099 px, trained HVRNet recipe
+   ΔmAP 0.0000) carries the decoded end-to-end claim.  ``--window 63
+   --budget-only`` measures the reference's hardcoded 63-frame point
+   (t_dim=63/key_dim=31, the self-consistent hnl_test.py derivation).
+
+Intended for the real TPU (CPU works but the f32 R101 frames are slow).
+Prints one JSON line per section; exits nonzero on a parity violation.
+
+Examples:
+    python tools/parity_full_shape.py --model selsa
+    python tools/parity_full_shape.py --model hvrnet
+    python tools/parity_full_shape.py --model hvrnet --window 63 --budget-only
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CANVAS = (608, 1008)
+IMG_SHAPE = (600.0, 1000.0)
+SCALE = np.array([1.67, 1.67, 1.67, 1.67], np.float32)
+D, NCLS = 1024, 31          # fc_feat_dim / num_classes (both real configs)
+
+
+# --------------------------------------------------------------------- torch
+def build_torch_models(model: str, rng):
+    """Reference-named torch modules at the REAL dims (R101, RPN feat 512,
+    head 1024/31) — random weights, non-trivial BN stats."""
+    import torch.nn as tnn
+    from tests.test_torch_parity import TorchBackbone, randomize_bn
+    from tests.test_full_model_parity import TorchRPNHead, TorchSharedHead
+
+    class TorchBackboneR101(TorchBackbone):
+        BLOCKS = (3, 4, 23)
+
+    class FullSelsaFcs(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc_new_1 = tnn.Linear(256 * 49, D)
+            self.fc_new_2 = tnn.Linear(D, D)
+            for i in (1, 2):
+                blk = tnn.Module()
+                blk.add_module(f"q_data_fc_{i}", tnn.Linear(D, D))
+                blk.add_module(f"k_data_fc_{i}", tnn.Linear(D, D))
+                blk.add_module(f"linear_out_{i}", tnn.Conv2d(D, D, 1))
+                self.add_module(f"selsa_{i}", blk)
+            self.fc_cls = tnn.Linear(D, NCLS)
+            self.fc_reg = tnn.Linear(D, 4)
+
+    class FullHrnmpFcs(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc_new_1 = tnn.Linear(256 * 49, D)
+            for i in (2, 3, 4):
+                self.add_module(f"fc_new_{i}", tnn.Linear(D, D))
+            for i in (1, 2, 3, 4):
+                blk = tnn.Module()
+                blk.add_module(f"q_data_fc_{i}", tnn.Linear(D, D))
+                blk.add_module(f"k_data_fc_{i}", tnn.Linear(D, D))
+                blk.add_module(f"linear_out_{i}", tnn.Conv2d(D, D, 1))
+                self.add_module(f"selsa_{i}", blk)
+            self.fc_cls = tnn.Linear(D, NCLS)
+            self.fc_reg = tnn.Linear(D, 4)
+            self.fc_cls_2 = tnn.Linear(D, NCLS)
+            self.fc_reg_2 = tnn.Linear(D, 4)
+
+    tb = TorchBackboneR101().eval()
+    ts = TorchSharedHead().eval()
+    tr = TorchRPNHead(in_ch=1024, feat_ch=512, num_anchors=12).eval()
+    th = (FullSelsaFcs() if model == "selsa" else FullHrnmpFcs()).eval()
+    randomize_bn(tb, rng)
+    randomize_bn(ts, rng)
+    sd = {}
+    for prefix, m in (("backbone", tb), ("shared_head", ts),
+                      ("rpn_head", tr), ("bbox_head", th)):
+        sd.update({f"{prefix}.{k}": v.detach().numpy()
+                   for k, v in m.state_dict().items()
+                   if "num_batches_tracked" not in k})
+    return (tb, ts, tr), sd
+
+
+# -------------------------------------------------------------------- frames
+def synth_frames(n: int, rng, mean):
+    """Structured video: low-contrast background + 8 moving high-contrast
+    objects (so RPN scores are well-separated, unlike pure noise), already
+    normalized (−mean, std 1 — the configs' img_norm), zero pad region."""
+    H, W = CANVAS
+    ih, iw = int(IMG_SHAPE[0]), int(IMG_SHAPE[1])
+    objs = []
+    for k in range(8):
+        w, h = rng.integers(60, 220), rng.integers(50, 180)
+        x = rng.integers(0, iw - w)
+        y = rng.integers(0, ih - h)
+        vx, vy = rng.integers(-6, 7), rng.integers(-4, 5)
+        col = rng.uniform(180, 255, 3)
+        objs.append([x, y, w, h, vx, vy, col])
+    frames = np.zeros((n, H, W, 3), np.float32)
+    for t in range(n):
+        img = rng.normal(115.0, 8.0, size=(ih, iw, 3)).astype(np.float32)
+        for x, y, w, h, vx, vy, col in objs:
+            x = int(np.clip(x + vx * t, 0, iw - w))
+            y = int(np.clip(y + vy * t, 0, ih - h))
+            img[y:y + h, x:x + w] = col + rng.normal(0, 3, (h, w, 3))
+        frames[t, :ih, :iw] = img - np.asarray(mean, np.float32)
+    return frames
+
+
+# -------------------------------------------------------------------- oracle
+def oracle_frame(tms, img, rpn_cfg, gen):
+    """One frame through torch backbone/shared/RPN + numpy proposals/
+    RoIAlign — the tests/test_full_model_parity.py construction at full
+    shape (reference rpn_head.py:55-104 anchor-major flatten)."""
+    import torch
+    from tests.test_full_model_parity import np_delta2bbox
+    from tests.test_ops_nms import greedy_nms_np
+    from tests.test_ops_roi_align import roi_align_np
+
+    tb, ts, tr = tms
+    with torch.no_grad():
+        x = torch.from_numpy(img[None].transpose(0, 3, 1, 2))
+        c4 = tb(x)
+        c5 = ts(c4).numpy().transpose(0, 2, 3, 1)
+        cls_map, reg_map = tr(c4)
+    scores = 1.0 / (1.0 + np.exp(
+        -cls_map.numpy().transpose(0, 2, 3, 1).reshape(-1)))
+    deltas = reg_map.numpy().transpose(0, 2, 3, 1).reshape(-1, 4)
+    fh, fw = c4.shape[2], c4.shape[3]
+    anchors = gen.grid_anchors((fh, fw), 16)
+    order = np.argsort(-scores)[:rpn_cfg["nms_pre"]]
+    props = np_delta2bbox(anchors[order].astype(np.float64), deltas[order],
+                          (0., 0., 0., 0.), (1., 1., 1., 1.), IMG_SHAPE)
+    keep = greedy_nms_np(props.astype(np.float32), scores[order],
+                         rpn_cfg["nms_thr"])[:rpn_cfg["nms_post"]]
+    kept = props[keep].astype(np.float32)
+    rois = np.concatenate([np.zeros((len(kept), 1), np.float32), kept], 1)
+    pooled = roi_align_np(c5, rois, 7, 1.0 / 16.0, 2)
+    return kept, pooled
+
+
+# ------------------------------------------------------------------ matching
+def _iou(a, b):
+    ax = np.maximum(a[:, None, 0], b[None, :, 0])
+    ay = np.maximum(a[:, None, 1], b[None, :, 1])
+    bx = np.minimum(a[:, None, 2], b[None, :, 2])
+    by = np.minimum(a[:, None, 3], b[None, :, 3])
+    inter = np.clip(bx - ax, 0, None) * np.clip(by - ay, 0, None)
+    area = lambda x: (x[:, 2] - x[:, 0]) * (x[:, 3] - x[:, 1])  # noqa: E731
+    return inter / (area(a)[:, None] + area(b)[None] - inter + 1e-9)
+
+
+def match_dets(da, la, db, lb, iou_thr=0.5):
+    """Greedy score-ordered matching of two detection sets (same-label,
+    IoU≥thr).  Returns matched fraction + drift stats over matches —
+    tolerant of pick-order flips between near-tied candidates, which exact
+    row comparison is not at 6000-candidate scale."""
+    if len(da) == 0 and len(db) == 0:
+        return dict(n_a=0, n_b=0, matched=1.0, box_max=0.0, box_mean=0.0,
+                    score_max=0.0, score_mean=0.0)
+    if len(da) == 0 or len(db) == 0:
+        return dict(n_a=len(da), n_b=len(db), matched=0.0, box_max=np.inf,
+                    box_mean=np.inf, score_max=np.inf, score_mean=np.inf)
+    iou = _iou(da[:, :4], db[:, :4])
+    iou[la[:, None] != lb[None, :]] = -1.0
+    used = np.zeros(len(db), bool)
+    box_d, score_d, n_match = [], [], 0
+    for i in np.argsort(-da[:, 4]):
+        j = -1
+        best = iou_thr
+        for cand in np.argsort(-iou[i]):
+            if iou[i, cand] < best:
+                break
+            if not used[cand]:
+                j = cand
+                break
+        if j >= 0:
+            used[j] = True
+            n_match += 1
+            box_d.append(np.abs(da[i, :4] - db[j, :4]).max())
+            score_d.append(abs(da[i, 4] - db[j, 4]))
+    denom = max(len(da), len(db))
+    return dict(n_a=len(da), n_b=len(db), matched=n_match / denom,
+                box_max=float(np.max(box_d)) if box_d else 0.0,
+                box_mean=float(np.mean(box_d)) if box_d else 0.0,
+                score_max=float(np.max(score_d)) if score_d else 0.0,
+                score_mean=float(np.mean(score_d)) if score_d else 0.0)
+
+
+def match_boxes_exact(a, b, atol=0.05):
+    """Unordered set matching of two proposal sets by near-exact coordinate
+    equality (one-to-one greedy on max-abs diff).  Returns matched fraction
+    + coordinate drift over the matches."""
+    if len(a) == 0 and len(b) == 0:
+        return dict(n_a=0, n_b=0, matched=1.0, box_max=0.0, box_mean=0.0,
+                    score_max=0.0, score_mean=0.0)
+    if len(a) == 0 or len(b) == 0:
+        return dict(n_a=len(a), n_b=len(b), matched=0.0, box_max=np.inf,
+                    box_mean=np.inf, score_max=0.0, score_mean=0.0)
+    d = np.abs(a[:, None, :] - b[None, :, :]).max(-1)       # (A, B)
+    used = np.zeros(len(b), bool)
+    drifts = []
+    for i in range(len(a)):
+        order = np.argsort(d[i])
+        for j in order:
+            if d[i, j] > atol:
+                break
+            if not used[j]:
+                used[j] = True
+                drifts.append(d[i, j])
+                break
+    denom = max(len(a), len(b))
+    return dict(n_a=len(a), n_b=len(b), matched=len(drifts) / denom,
+                box_max=float(np.max(drifts)) if drifts else 0.0,
+                box_mean=float(np.mean(drifts)) if drifts else 0.0,
+                score_max=0.0, score_mean=0.0)
+
+
+def agg(stats_list):
+    return dict(frames=len(stats_list),
+                matched=float(np.mean([s["matched"] for s in stats_list])),
+                box_max=float(np.max([s["box_max"] for s in stats_list])),
+                box_mean=float(np.mean([s["box_mean"] for s in stats_list])),
+                score_max=float(np.max([s["score_max"] for s in stats_list])),
+                score_mean=float(np.mean([s["score_mean"]
+                                          for s in stats_list])))
+
+
+# ------------------------------------------------------------------- engines
+def build_engine(model: str, dtype, window=None, stream=False):
+    import jax.numpy as jnp  # noqa: F401
+    from hvrnet_tpu.utils.config import Config
+    from hvrnet_tpu.engine import HNMBRCNN, SelsaRCNN
+    name = ("configs/faster_rcnn_r101_hrnmp_c5.py" if model == "hvrnet"
+            else "configs/faster_rcnn_r101_selsa_c5.py")
+    cfg = Config.fromfile(osp.join(REPO, name))
+    if window:
+        cfg.test_cfg["bbox_head"]["t_dim"] = int(window)
+        cfg.test_cfg["bbox_head"]["key_dim"] = (int(window) - 1) // 2
+    cls = HNMBRCNN if model == "hvrnet" else SelsaRCNN
+    engine = cls(cfg.model, None, cfg.test_cfg, dtype=dtype)
+    if window:
+        engine.window = int(window)
+        engine.key_dim = (int(window) - 1) // 2
+    if stream:
+        engine.stream = True
+    return engine
+
+
+def engine_params(engine, sd=None):
+    """init on the host CPU backend (tunnel rule), merge the converted torch
+    checkpoint when given, one device_put."""
+    import jax
+    from hvrnet_tpu.utils.checkpoint import convert_torch_checkpoint, \
+        merge_params
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        params = engine.init_params(jax.random.PRNGKey(0))
+    if sd is not None:
+        loaded = convert_torch_checkpoint(sd)
+        merged, missing = merge_params(params["params"], loaded["params"])
+        assert not missing, missing[:8]
+        params = {"params": merged}
+    return jax.device_put(params, jax.devices()[0])
+
+
+def run_window(engine, params, frames, branch):
+    """frame_features over len(frames) frames + ONE window_detect — the
+    oracle-comparison path (selsa_rcnn.py:247-338 semantics)."""
+    import jax.numpy as jnp
+    pad = (float(CANVAS[0]), float(CANVAS[1]))
+    feats = [engine.frame_features(params, jnp.asarray(frames[t:t + 1]),
+                                   IMG_SHAPE, pad)
+             for t in range(len(frames))]
+    fc1 = jnp.stack([f["fc1"] for f in feats])
+    boxes = jnp.stack([f["boxes"] for f in feats])
+    masks = jnp.stack([f["mask"] for f in feats])
+    out = engine.window_detect(params, fc1, boxes, masks, IMG_SHAPE, SCALE,
+                               branch=branch)
+    return feats, out
+
+
+def dets_np(out):
+    d, l, m = out
+    m = np.asarray(m)
+    return np.asarray(d, np.float32)[m], np.asarray(l)[m]
+
+
+def frame_feats_all(engine, params, frames):
+    pad = (float(CANVAS[0]), float(CANVAS[1]))
+    import jax.numpy as jnp
+    return [engine.frame_features(params, jnp.asarray(frames[t:t + 1]),
+                                  IMG_SHAPE, pad)
+            for t in range(len(frames))]
+
+
+def raw_window_fn(engine):
+    """RAW key-frame head outputs (cls logits, reg deltas per branch) from
+    the window graph.  The dtype/streaming budget is measured on these, NOT
+    on decoded boxes: `delta2bbox` exponentiates dw/dh, so with random
+    weights a ppm-level logit drift decodes to hundreds of px (measured:
+    row-aligned decoded box_max 598 px while every proposal pick matched) —
+    an untrained-weights artifact, not a bf16 accuracy property.  The
+    TRAINED budget (tests/test_bf16_budget.py, test_train_hnmb_e2e.py:
+    ΔmAP 0.000, box drift ≤0.15 px) carries the decoded-detection claim;
+    this section bounds the raw-output drift at the real shape/token
+    count."""
+    import jax
+    mod = engine.module
+    T, kd, P = engine.window, engine.key_dim, engine.proposal_num
+
+    def fn(params, fc1_stack, masks):
+        fc1 = fc1_stack.reshape(T * P, -1)
+        valid = masks.reshape(T * P)
+        cls, reg = mod.apply(params, fc1, kd * P, P, valid,
+                             method=mod.bbox_forward_fc1)
+        if not isinstance(cls, (list, tuple)):
+            cls, reg = [cls], [reg]
+        return list(cls), list(reg)
+
+    return jax.jit(fn)
+
+
+def raw_stream_fn(engine):
+    """RAW key-frame head outputs from the STREAMING ring state (same row
+    alignment as raw_window_fn — pure streaming-softmax error on identical
+    inputs at the full token count)."""
+    import jax
+    mod = engine.module
+    T, kd = engine.window, engine.key_dim
+
+    def fn(params, state):
+        center = (state["pos"] + 1 + kd) % T
+        cls_list, reg_list = mod.apply(params, engine._head_view(state),
+                                       center, False,
+                                       method=mod.bbox_stream_forward)
+        mask_c = jax.lax.dynamic_index_in_dim(state["masks"], center, 0,
+                                              keepdims=False)
+        return list(cls_list), list(reg_list), mask_c
+
+    return jax.jit(fn)
+
+
+def synth_window_feats(n: int, P: int, D: int, rng):
+    """Temporally-correlated UNIT-SCALE window features (fc1, boxes, mask)
+    for the head-level budget.  Unit scale matters: a random R101 with
+    untrained FrozenBN (v=1, m=0) EXPLODES activations to ~1e11 std at c5
+    (measured), which makes any dtype comparison through it meaningless —
+    trained caffe-style nets rely on pretrained BN stats to stay O(1).  At
+    σ≈1 fc1 the NL logit spread lands ~3 nats (the trained regime) and the
+    budget measures the head's bf16/flash-tile/streaming arithmetic at the
+    REAL token counts."""
+    feats = []
+    cur = rng.normal(size=(P, D)).astype(np.float32)
+    for _ in range(n):
+        cur = 0.9 * cur + np.sqrt(1 - 0.81) * rng.normal(
+            size=(P, D)).astype(np.float32)
+        x1 = rng.uniform(0, IMG_SHAPE[1] - 40, P).astype(np.float32)
+        y1 = rng.uniform(0, IMG_SHAPE[0] - 40, P).astype(np.float32)
+        w = rng.uniform(20, 300, P).astype(np.float32)
+        h = rng.uniform(20, 250, P).astype(np.float32)
+        boxes = np.stack([x1, y1, np.minimum(x1 + w, IMG_SHAPE[1] - 1),
+                          np.minimum(y1 + h, IMG_SHAPE[0] - 1)], axis=1)
+        feats.append(dict(fc1=cur.copy(), boxes=boxes,
+                          mask=rng.random(P) < 0.95))
+    return feats
+
+
+def rel_drift(cls_a, reg_a, cls_b, reg_b, mask):
+    """Per-branch row-aligned drift of raw head outputs over ``mask`` rows,
+    relative to the f32 output scale (std over the same rows) — the
+    tests/test_bf16_budget.py convention at full shape."""
+    stats = []
+    m = np.asarray(mask)
+    for ca, ra, cb, rb in zip(cls_a, reg_a, cls_b, reg_b):
+        ca = np.asarray(ca, np.float32)[m]
+        cb = np.asarray(cb, np.float32)[m]
+        ra = np.asarray(ra, np.float32)[m]
+        rb = np.asarray(rb, np.float32)[m]
+        cs = max(float(ca.std()), 1e-6)
+        rs = max(float(ra.std()), 1e-6)
+        stats.append(dict(
+            cls_rel_max=float(np.abs(ca - cb).max() / cs),
+            cls_rel_mean=float(np.abs(ca - cb).mean() / cs),
+            reg_rel_max=float(np.abs(ra - rb).max() / rs),
+            reg_rel_mean=float(np.abs(ra - rb).mean() / rs)))
+    return stats
+
+
+# ---------------------------------------------------------------------- main
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=["selsa", "hvrnet"], default="selsa")
+    ap.add_argument("--window", type=int, default=None,
+                    help="override the cache length for the budget section "
+                         "(63 = the reference hnl_test.py:757 point)")
+    ap.add_argument("--budget-only", action="store_true",
+                    help="skip the torch-oracle section (e.g. at --window 63 "
+                         "where the 18.9k-token numpy oracle is impractical)")
+    ap.add_argument("--budget-frames", type=int, default=6,
+                    help="sliding-window positions compared in the budget")
+    ap.add_argument("--skip-pick-agree", action="store_true",
+                    help="skip the full-canvas RPN pick-agreement section "
+                         "(the slow R101 frame programs)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hvrnet_tpu_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    rng = np.random.default_rng(args.seed)
+    mean = (103.06, 115.90, 123.15)     # both configs' img_norm
+    window = args.window or 21
+    key_idx = (window - 1) // 2 if args.window else 10
+
+    failures = []
+
+    # ----------------------------------------------------- f32 vs oracle
+    if not args.budget_only:
+        import torch
+        torch.manual_seed(args.seed)
+        tms, sd = build_torch_models(args.model, rng)
+        engine = build_engine(args.model, jnp.float32, window=args.window)
+        params = engine_params(engine, sd)
+        frames = synth_frames(window, rng, mean)
+
+        t0 = time.time()
+        with jax.default_matmul_precision("highest"):
+            # branch=None → HVRNet decodes BOTH branches; SELSA single
+            feats, out = run_window(engine, params, frames, None)
+            jax.block_until_ready(jax.tree_util.tree_leaves(out))
+        t_jax = time.time() - t0
+
+        from hvrnet_tpu.ops.anchors import AnchorGenerator
+        from tests.test_full_model_parity import np_delta2bbox
+        from tests.test_head_parity import (np_linear, np_nl_block, relu,
+                                            to_np)
+        from tests.test_ops_nms import multiclass_nms_np
+        rpn_cfg = engine.test_cfg["rpn"]
+        rcnn_cfg = engine.test_cfg["rcnn"]
+        gen = AnchorGenerator(16, (4, 8, 16, 32), (0.5, 1.0, 2.0))
+        t0 = time.time()
+        frame_boxes, frame_pooled, frame_nvalid, prop_stats = [], [], [], []
+        for t in range(window):
+            kept, pooled = oracle_frame(tms, frames[t], rpn_cfg, gen)
+            frame_boxes.append(kept)
+            frame_pooled.append(pooled)
+            frame_nvalid.append(len(kept))
+            m = np.asarray(feats[t]["mask"])
+            got_b = np.asarray(feats[t]["boxes"])[m]
+            # proposal parity: exact-box SET matching (atol 0.05 px).  Near-
+            # tied 6000-candidate picks can flip between f32 and the f64
+            # oracle, so row order is not the claim; IoU-based matching is
+            # too coarse here (greedy NMS keeps survivors just under the
+            # 0.7 threshold apart, so cross-set best-IoU pairing mispairs
+            # neighbours and understates agreement)
+            prop_stats.append(match_boxes_exact(got_b, kept, atol=0.05))
+        p = to_np(params["params"])
+        pooled_all = np.concatenate(frame_pooled, axis=0)
+        x = pooled_all.reshape(pooled_all.shape[0], -1).astype(np.float64)
+        s = sum(frame_nvalid[:key_idx])
+        l = frame_nvalid[key_idx]
+        nongt = sum(frame_nvalid)
+        if args.model == "selsa":
+            fc1 = np_linear(p["bbox_head"]["fc_new_1"], x)
+            att1 = np_nl_block(p["bbox_head"]["selsa_1"], fc1, fc1[:nongt], D)
+            fc_all_1 = relu(fc1 + att1)
+            fc2 = np_linear(p["bbox_head"]["fc_new_2"], fc_all_1)
+            att2 = np_nl_block(p["bbox_head"]["selsa_2"], fc2[s:s + l],
+                               fc2[:nongt], D)
+            fc_all_2 = relu(fc2[s:s + l] + att2)
+            cls_list = [np_linear(p["bbox_head"]["fc_cls"], fc_all_2)]
+            reg_list = [np_linear(p["bbox_head"]["fc_reg"], fc_all_2)]
+            outs = [out]
+        else:
+            from tests.test_full_model_parity_hnmb import np_hrnmp_forward_test
+            cls_list, reg_list = np_hrnmp_forward_test(
+                p["bbox_head"], x, s, l, nongt, dim=D)
+            outs = out          # list of 2 branches
+        t_oracle = time.time() - t0
+
+        det_stats = []
+        for b, (cls, reg) in enumerate(zip(cls_list, reg_list)):
+            e = np.exp(cls - cls.max(axis=1, keepdims=True))
+            scores = e / e.sum(axis=1, keepdims=True)
+            bboxes = np_delta2bbox(frame_boxes[key_idx].astype(np.float64),
+                                   reg, (0., 0., 0., 0.),
+                                   (0.1, 0.1, 0.2, 0.2), IMG_SHAPE) / SCALE[0]
+            ref_d, ref_l = multiclass_nms_np(
+                bboxes.astype(np.float32), scores.astype(np.float32),
+                rcnn_cfg["score_thr"], rcnn_cfg["nms"]["iou_thr"],
+                rcnn_cfg["max_per_img"])
+            got_d, got_l = dets_np(outs[b])
+            det_stats.append(match_dets(got_d, got_l, ref_d, ref_l))
+
+        report = dict(section="f32_vs_torch_oracle", model=args.model,
+                      window=window, canvas=list(CANVAS),
+                      proposals=agg(prop_stats),
+                      detections=[dict(branch=b, **st)
+                                  for b, st in enumerate(det_stats)],
+                      jax_s=round(t_jax, 1), oracle_s=round(t_oracle, 1))
+        print(json.dumps(report))
+        pa = report["proposals"]
+        if pa["matched"] < 0.995 or pa["box_max"] > 0.5:
+            failures.append(f"proposal parity: {pa}")
+        for st in det_stats:
+            if st["matched"] < 0.99 or st["box_max"] > 1.0 \
+                    or st["score_max"] > 0.01:
+                failures.append(f"detection parity: {st}")
+        del engine, params, feats, out
+
+    # -------------------------------------------- bf16(+stream) budget
+    engine32 = build_engine(args.model, jnp.float32, window=args.window)
+    p32 = engine_params(engine32)
+    engine16 = build_engine(args.model, jnp.bfloat16, window=args.window,
+                            stream=(args.model == "hvrnet"))
+    p16 = engine16.cast_head_params_bf16(p32)  # same weights, bf16 head copies
+    B = args.budget_frames
+
+    # -- RPN pick agreement through the REAL frame path (f32 vs bf16
+    # backbone/RPN/NMS at the full canvas): the one full-path dtype claim a
+    # random unnormalized R101 supports (rank decisions, not magnitudes)
+    if not args.skip_pick_agree:
+        frames_b = synth_frames(8, rng, mean)
+        f32s = frame_feats_all(engine32, p32, frames_b)
+        f16s = frame_feats_all(engine16, p16, frames_b)
+        agree_fracs = []
+        for a, b in zip(f32s, f16s):
+            m = np.asarray(a["mask"])
+            agree = ((np.abs(np.asarray(a["boxes"], np.float32)
+                             - np.asarray(b["boxes"], np.float32)).max(-1)
+                      < 0.05) & m & np.asarray(b["mask"]))
+            agree_fracs.append(float(agree.sum()) / max(int(m.sum()), 1))
+        pick_agree = float(np.mean(agree_fracs))
+        print(json.dumps(dict(section="rpn_pick_agreement_f32_vs_bf16",
+                              model=args.model, canvas=list(CANVAS),
+                              frames=len(f32s), pick_agree=pick_agree)))
+        # random RPN weights score the 6000 candidates in near-ties, so a
+        # few % of picks legitimately flip under any dtype change (measured
+        # 0.92-1.0 across seeds/configs); the TRAINED budget's 100%-matched
+        # detections (tests/test_bf16_budget.py) is the real-weights claim —
+        # this gate only catches wholesale divergence (layout/canvas bugs)
+        if pick_agree < 0.85:
+            failures.append(f"bf16 RPN pick agreement {pick_agree}")
+        del f32s, f16s
+
+    # -- head budget at the real token count on unit-scale features (see
+    # synth_window_feats: the random backbone's 1e11-scale activations make
+    # dtype comparison through it meaningless, so the head is fed directly)
+    P, Dh = engine32.proposal_num, D
+    sf = synth_window_feats(window + B, P, Dh, rng)
+    w32 = raw_window_fn(engine32)
+    w16 = raw_window_fn(engine16)
+
+    def stack_window(pos, dtype):
+        win = sf[pos - window + 1:pos + 1]
+        return (jnp.stack([jnp.asarray(f["fc1"], dtype) for f in win]),
+                jnp.stack([jnp.asarray(f["mask"]) for f in win]))
+
+    stream16 = None
+    st = None
+    if args.model == "hvrnet":
+        stream16 = raw_stream_fn(engine16)
+        st = engine16.ring_reset(Dh)
+        for t in range(window):
+            st = engine16.ring_push(
+                st, dict(fc1=jnp.asarray(sf[t]["fc1"]),
+                         boxes=jnp.asarray(sf[t]["boxes"]),
+                         mask=jnp.asarray(sf[t]["mask"])), params=p16)
+
+    dtype_stats, stream_stats = [], []
+    for pos in range(window, window + B):
+        if st is not None:
+            st = engine16.ring_push(
+                st, dict(fc1=jnp.asarray(sf[pos]["fc1"]),
+                         boxes=jnp.asarray(sf[pos]["boxes"]),
+                         mask=jnp.asarray(sf[pos]["mask"])), params=p16)
+        fc1_32, mk = stack_window(pos, jnp.float32)
+        cls32, reg32 = w32(engine32._bb(p32), fc1_32, mk)
+        fc1_16, _ = stack_window(pos, jnp.bfloat16)
+        cls16, reg16 = w16(engine16._bb(p16), fc1_16, mk)
+        mkey = np.asarray(mk[engine32.key_dim])
+        # identical inputs both sides — pure head dtype drift at full shape
+        dtype_stats.extend(rel_drift(cls32, reg32, cls16, reg16, mkey))
+        if stream16 is not None:
+            # streaming budget on IDENTICAL inputs at the same dtype —
+            # pure streaming-softmax error at the full token count
+            cls_s, reg_s, m_s = stream16(engine16._bb(p16), st)
+            stream_stats.extend(rel_drift(cls16, reg16, cls_s, reg_s,
+                                          mkey & np.asarray(m_s)))
+
+    def bagg(stats):
+        return dict(
+            positions=B,
+            **{k: float(np.max([s[k] for s in stats]) if k.endswith("max")
+                        else np.mean([s[k] for s in stats]))
+               for k in ("cls_rel_max", "cls_rel_mean",
+                         "reg_rel_max", "reg_rel_mean")})
+
+    budget = bagg(dtype_stats)
+    print(json.dumps(dict(section="bf16_budget_raw_head", model=args.model,
+                          window=window, canvas=list(CANVAS), **budget)))
+    # 5%-of-output-scale gates: the tests/test_bf16_budget.py thresholds
+    if budget["cls_rel_max"] > 0.05 or budget["reg_rel_max"] > 0.05:
+        failures.append(f"bf16 budget collapse: {budget}")
+    if stream_stats:
+        sb = bagg(stream_stats)
+        print(json.dumps(dict(section="stream_vs_exact_budget_raw_head",
+                              model=args.model, window=window,
+                              canvas=list(CANVAS), **sb)))
+        if sb["cls_rel_max"] > 0.05 or sb["reg_rel_max"] > 0.05:
+            failures.append(f"streaming budget collapse: {sb}")
+
+    if failures:
+        print(json.dumps(dict(section="FAILURES", items=failures)))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
