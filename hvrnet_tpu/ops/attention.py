@@ -36,7 +36,14 @@ def _attention_reference(q, k, v, bias, scale):
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
                   m_ref, l_ref, acc_ref, *, scale: float, nk_tiles: int):
     """Grid = (q_tiles, k_tiles); k is the innermost (fastest) dimension.
-    Scratch (per q-tile): running max m, normalizer l, accumulator acc."""
+    Scratch (per q-tile): running max m, normalizer l, accumulator acc.
+
+    All operands arrive tile-divisible (host-padded).  Ragged tiles were
+    tried and are a Mosaic dead end on this toolchain (BASELINE.md round-4
+    negative result): unpadded blocks compile to single-buffered over-sized
+    windows, and in-kernel tail masking (iota+where on the v tile) explodes
+    into ~208 MB of register-allocator spill slots — both hard compile
+    errors at the 300×18900 point."""
     kt = pl.program_id(1)
 
     @pl.when(kt == 0)
@@ -73,6 +80,10 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(jax.jit, static_argnames=("scale", "tq", "tk"))
 def _flash_attention(q, k, v, bias, scale: float, tq: int = 256,
                      tk: int = 512):
+    """Host-pads every operand to its tile (the k/v pads cost two full K/V
+    HBM copies, ~0.24 ms/step at the 63×300 point — an accepted cost: both
+    unpadded-block strategies fail to compile on this Mosaic, see
+    _flash_kernel's docstring and the BASELINE.md round-4 negative row)."""
     nq, d = q.shape
     nk = k.shape[0]
     nq_p = _round_up(nq, tq)
