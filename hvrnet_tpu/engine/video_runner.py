@@ -87,14 +87,24 @@ class SlidingWindowRunner:
         # windows EXACTLY (window_detect over a kept feats history) and
         # dispatches engine.stream_rebuild — so emitted detections are
         # identical-or-better vs the cond path (replayed ones are exact).
-        spec = True if speculative_stream is None else bool(speculative_stream)
+        # NOTE the replay history (`hist` in run()) keeps T + flush_every
+        # per-push device caches alive for exact replay: ~45-50 MB extra
+        # steady-state HBM at the T=63 / 300-proposal operating point
+        # (fc1 300×1024 f32 + boxes/masks per slot).  Paid on every run even
+        # though replays are vanishingly rare — pass
+        # speculative_stream=False (the in-program cond path) if HBM is
+        # tight at larger windows.
+        if speculative_stream is None:
+            # honor an explicitly-set engine flag (e.g. bench.py
+            # --cond-repair sets engine.stream_rollback = False before
+            # constructing the runner); otherwise default on
+            spec = bool(engine.__dict__.get("stream_rollback", True))
+        else:
+            spec = bool(speculative_stream)
         self.speculative = (spec and self.use_ring
                             and getattr(engine, "stream", False)
                             and hasattr(engine, "ring_step")
                             and hasattr(engine, "stream_rebuild"))
-        if getattr(engine, "stream", False) and hasattr(engine,
-                                                        "stream_rollback"):
-            engine.stream_rollback = self.speculative
         # t_data/t_net-style phase accounting the reference computed but
         # never surfaced (tools/test.py:55-56,195-196)
         self.timer = timer
@@ -133,6 +143,27 @@ class SlidingWindowRunner:
         Returns a list of per-frame per-class det lists indexed by absolute
         frame id − 1 (test.py:248).
         """
+        # scope the rollback choice to this run: ring_step traces against
+        # engine.stream_rollback, so it must match self.speculative while we
+        # run, but callers mixing the runner with direct split
+        # ring_push/ring_detect use of the same engine get their prior
+        # setting back afterwards (advisor round-4 finding)
+        restore = False
+        if getattr(self.engine, "stream", False) and hasattr(
+                self.engine, "stream_rollback"):
+            prior = self.engine.__dict__.get("stream_rollback", None)
+            self.engine.stream_rollback = self.speculative
+            restore = True
+        try:
+            return self._run(frame_stream, num_frames)
+        finally:
+            if restore:
+                if prior is None:
+                    self.engine.__dict__.pop("stream_rollback", None)
+                else:
+                    self.engine.stream_rollback = prior
+
+    def _run(self, frame_stream: Iterable[Dict], num_frames: int) -> List:
         T = self.window
         half = (T + 1) // 2
         results: List = [None] * num_frames

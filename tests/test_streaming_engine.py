@@ -273,7 +273,9 @@ def test_runner_replay_protocol():
     n = 13
     want = run(exact, params, n)
     runner = SlidingWindowRunner(stream, params, branch=-1, flush_every=4)
-    assert runner.speculative and stream.stream_rollback
+    assert runner.speculative
+    # the rollback flag is scoped to run(): untouched before, restored after
+    assert "stream_rollback" not in stream.__dict__
     got = runner.run(synthetic_stream(n), num_frames=n)
     assert rebuilds, "replay branch never ran despite theta=-1"
     assert len(want) == len(got) == n
