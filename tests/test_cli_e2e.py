@@ -377,6 +377,38 @@ def test_hnl_test_cli(mini_vid, tmp_path, extra):  # noqa: F811
     assert len(results) == 8 and all(x is not None for x in results)
 
 
+def test_hnl_test_cli_json_out_and_show(mini_vid, tmp_path):  # noqa: F811
+    """tools/hnl_test.py --json_out/--show — the reference has them on BOTH
+    harnesses (hnl_test.py:669-707 mirrors test.py:685-799)."""
+    import json
+    cfg_path = str(tmp_path / "tiny_hnl_cfg.py")
+    with open(cfg_path, "w") as f:
+        f.write(HNL_CFG.format(root=mini_vid))
+    out = str(tmp_path / "results_hnl_json.pkl")
+    json_out = str(tmp_path / "results_hnl")
+    show_dir = str(tmp_path / "vis_hnl")
+    argv = ["hnl_test.py", cfg_path, "--out", out, "--window", "3",
+            "--pre-padding", "repeat", "--json_out", json_out,
+            "--show", "--show-dir", show_dir, "--show-thr", "0.0"]
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys; sys.argv=%r;"
+         "sys.path.insert(0, %r);"
+         "import runpy; runpy.run_path(%r, run_name='__main__')"
+         % (argv, REPO, osp.join(REPO, "tools/hnl_test.py"))],
+        capture_output=True, timeout=900, cwd=REPO, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(json_out + ".bbox.json") as f:
+        dets = json.load(f)
+    assert isinstance(dets, list)
+    for d in dets:
+        assert set(d) == {"image_id", "bbox", "score", "category_id"}
+        assert 1 <= d["category_id"] <= 30
+    frames = os.listdir(show_dir)
+    assert len(frames) == 8 and all(p.endswith(".jpg") for p in frames)
+
+
 def test_test_cli_aug_test(mini_vid, tmp_path):  # noqa: F811
     """tools/test.py --aug-test runs the flip-augmented pipeline end to end."""
     cfg_path = str(tmp_path / "tiny_cfg.py")

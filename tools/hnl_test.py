@@ -51,6 +51,19 @@ def parse_args():
                         "per frame; bit-equal up to streaming-softmax "
                         "rounding (tests/test_streaming_engine.py)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--json_out", default=None,
+                   help="COCO-results json file name WITHOUT extension "
+                        "(reference hnl_test.py:669-678,770-800): rank 0 "
+                        "writes <json_out>.bbox.json after the merge")
+    p.add_argument("--show", action="store_true",
+                   help="render detections onto the source frames "
+                        "(reference hnl_test.py:686 displays interactively; "
+                        "this environment is headless, so frames are written "
+                        "to --show-dir instead)")
+    p.add_argument("--show-dir", default="vis",
+                   help="output directory for --show")
+    p.add_argument("--show-thr", type=float, default=0.3,
+                   help="score threshold for --show")
     return p.parse_args()
 
 
@@ -170,6 +183,15 @@ def main():
         with open(args.out, "wb") as f:
             pickle.dump(merged, f)
         logger.info("merged results → %s", args.out)
+        if args.json_out:
+            from tools.test import vid_results2json
+            path = vid_results2json(dataset, merged,
+                                    args.json_out + ".bbox.json")
+            logger.info("COCO-json results → %s", path)
+        if args.show:
+            from tools.test import show_results
+            n = show_results(dataset, merged, args.show_dir, args.show_thr)
+            logger.info("wrote %d annotated frames → %s", n, args.show_dir)
         if args.eval:
             from tools.vid_eval import evaluate_results
             evaluate_results(args.out, args.config)
