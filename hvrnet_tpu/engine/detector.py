@@ -389,8 +389,7 @@ class BaseEngine:
             return fn(img)
         return self._frame_backbone_fn(h, w)(params, img)
 
-    @functools.lru_cache(maxsize=8)
-    def _frame_post_fn(self, canvas_h: int, canvas_w: int):
+    def _frame_post_body(self, canvas_h: int, canvas_w: int):
         canvas = self._canvas(canvas_h, canvas_w)
         rpn_cfg = self.test_cfg["rpn"]
         mod = self.module
@@ -405,7 +404,11 @@ class BaseEngine:
             fc1 = mod.apply(params, pooled, method=mod.bbox_precompute_fc1)
             return dict(fc1=fc1, boxes=boxes, scores=scores, mask=mask)
 
-        return jax.jit(fn)
+        return fn
+
+    @functools.lru_cache(maxsize=8)
+    def _frame_post_fn(self, canvas_h: int, canvas_w: int):
+        return jax.jit(self._frame_post_body(canvas_h, canvas_w))
 
     def frame_features(self, params, img: jnp.ndarray, img_shape, pad_shape):
         """img: (1, H, W, 3) canvas-padded — normalized float32, or raw uint8
@@ -759,6 +762,54 @@ class _RingMixin:
                   _dev_f32(img_shape),
                   _dev_f32(scale_factor))
 
+    # ------------------------------------------- fused post + window stage
+    def _step_body_for(self, t_dim: int, key_dim: int, branch):
+        """The window-stage body the fused program composes with (overridden
+        by the streaming engine)."""
+        return self._ring_step_body(t_dim, key_dim, branch,
+                                    getattr(self, "multi_pass", None))
+
+    def _poststep_core(self, canvas_h: int, canvas_w: int, t_dim: int,
+                       key_dim: int, branch):
+        post = self._frame_post_body(canvas_h, canvas_w)
+        step = self._step_body_for(t_dim, key_dim, branch)
+
+        def fn(params, state, c5, cls_map, reg_map, img_shape, pad_shape,
+               scale_factor):
+            feats = post(params, c5, cls_map, reg_map, img_shape, pad_shape)
+            return step(params, state, feats, img_shape, scale_factor)
+
+        return fn
+
+    def _step_variant(self):
+        """Hashable cache key of everything `_step_body_for` closes over
+        besides (t_dim, key_dim, branch) — a later engine-flag flip must
+        never serve a stale fused program."""
+        return ("exact", getattr(self, "multi_pass", None))
+
+    @functools.lru_cache(maxsize=4)
+    def _poststep_fn(self, canvas_h: int, canvas_w: int, t_dim: int,
+                     key_dim: int, branch, variant):
+        return jax.jit(self._poststep_core(canvas_h, canvas_w, t_dim,
+                                           key_dim, branch),
+                       donate_argnums=(1,))
+
+    def ring_step_fused(self, params, state, c5, cls_map, reg_map, img_shape,
+                        pad_shape, scale_factor, key_dim: Optional[int] = None,
+                        branch=None):
+        """Proposals + RoIAlign + fc1 + window stage in ONE program (2
+        dispatches/frame with the backbone instead of 3).  Takes the raw
+        backbone outputs (`_backbone_dispatch`); both halves use the same
+        bbox_head param subtree.  Equality-tested vs the split path
+        (tests/test_fused_poststep.py)."""
+        kd = self.key_dim if key_dim is None else key_dim
+        ch, cw = int(c5.shape[1]) * 16, int(c5.shape[2]) * 16
+        fn = self._poststep_fn(ch, cw, self.window, kd, branch,
+                               self._step_variant())
+        return fn(self._bb(params), state, c5, cls_map, reg_map,
+                  _dev_f32(img_shape), _dev_f32(pad_shape),
+                  _dev_f32(scale_factor))
+
     # -------------------------------------------------- batched ring buffers
     def ring_reset_batched(self, batch: int, fc1_dim: int):
         T, P = self.window, self.proposal_num
@@ -1095,21 +1146,34 @@ class HNMBRCNN(_RingMixin, BaseEngine):
         # programs was a real repack (~0.15 ms/frame) — flat makes them
         # bitcasts.  fc1 is flat too (stream engines never use the base
         # ring's rolled (T,P,D) view).
-        zeros = lambda d: jnp.zeros((R, d), self.dtype)
+        #
+        # The flat row count is PRE-PADDED to the flash key-tile multiple
+        # (ops/attention.KEY_TILE): the head derives fc2/fc4 (the NL2/NL4
+        # K/V) row-wise from these caches, so tile-exact storage makes the
+        # flash wrapper's per-call k/v pad copies (two full K/V HBM passes,
+        # ~0.24 ms/step at 63×300) zero-width no-ops.  Tail rows are never
+        # written (put_rows targets slot rows < R) and are masked out of
+        # every key set via the padded mask (head stream methods); their
+        # accumulators stay finite because any slot with a valid key makes
+        # every row's anchor finite at insert time, before that slot can be
+        # evicted (streaming_attention module invariant).
+        from ..ops.attention import KEY_TILE
+        R_pad = -(-R // KEY_TILE) * KEY_TILE
+        zeros = lambda d: jnp.zeros((R_pad, d), self.dtype)
         state["fc1"] = zeros(int(fc1_dim))
         state.update(
             q1=zeros(dim[0]), k1=zeros(dim[1]),
             fc3s=zeros(fc_feat), q3=zeros(dim[0]), k3=zeros(dim[1]),
-            m1=jnp.full((R,), -jnp.inf, jnp.float32),
-            l1=jnp.zeros((R,), jnp.float32),
-            a1=jnp.zeros((R, fc1_dim), jnp.float32),
-            m3=jnp.full((R,), -jnp.inf, jnp.float32),
-            l3=jnp.zeros((R,), jnp.float32),
-            a3=jnp.zeros((R, fc_feat), jnp.float32),
+            m1=jnp.full((R_pad,), -jnp.inf, jnp.float32),
+            l1=jnp.zeros((R_pad,), jnp.float32),
+            a1=jnp.zeros((R_pad, fc1_dim), jnp.float32),
+            m3=jnp.full((R_pad,), -jnp.inf, jnp.float32),
+            l3=jnp.zeros((R_pad,), jnp.float32),
+            a3=jnp.zeros((R_pad, fc_feat), jnp.float32),
             # per-(row, slot) logit-max health tables for the exact-repair
             # cond (ops/streaming_attention.py docstring)
-            M1=jnp.full((R, T), -jnp.inf, jnp.float32),
-            M3=jnp.full((R, T), -jnp.inf, jnp.float32))
+            M1=jnp.full((R_pad, T), -jnp.inf, jnp.float32),
+            M3=jnp.full((R_pad, T), -jnp.inf, jnp.float32))
         if self.stream_rollback:
             # sticky health flag for the host-replay rollback protocol
             state["flag"] = jnp.zeros((), bool)
@@ -1326,6 +1390,18 @@ class HNMBRCNN(_RingMixin, BaseEngine):
         return fn(self._bb(params), state, feats,
                   _dev_f32(img_shape),
                   _dev_f32(scale_factor))
+
+    def _step_body_for(self, t_dim: int, key_dim: int, branch):
+        if not self.stream:
+            return super()._step_body_for(t_dim, key_dim, branch)
+        self._check_stream_no_multipass()
+        return self._stream_step_body(t_dim, key_dim, branch,
+                                      self.stream_rollback)
+
+    def _step_variant(self):
+        if not self.stream:
+            return super()._step_variant()
+        return ("stream", self.stream_rollback)
 
 
 @DETECTORS.register_module

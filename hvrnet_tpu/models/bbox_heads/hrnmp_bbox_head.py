@@ -43,6 +43,18 @@ NEG_INF = -1e30
 POS_INF = 1e30
 
 
+def _pad_mask(mask_flat: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """Extend the (T·P,) key mask with False to ``rows`` — the streaming
+    ring's flat caches carry a flash-tile pad tail beyond the slot grid
+    (engine ring_reset, ops/attention.KEY_TILE); the tail rows are never
+    valid keys."""
+    extra = rows - mask_flat.shape[0]
+    if extra <= 0:
+        return mask_flat
+    return jnp.concatenate(
+        [mask_flat, jnp.zeros((extra,), mask_flat.dtype)])
+
+
 def triplet_nonlocal_loss(aff_scale: jnp.ndarray, labels: jnp.ndarray,
                           all_labels: jnp.ndarray,
                           margin: float,
@@ -386,7 +398,7 @@ class HRNMPBBoxHead(nn.Module):
         out["fc1"] = put_rows(st["fc1"], fc1_new)
         for k in ("q1", "k1", "fc3s", "q3", "k3"):
             out[k] = put_rows(st[k], proj[k])
-        mask_all = out["mask"].reshape(R)
+        mask_all = _pad_mask(out["mask"].reshape(R), st["fc1"].shape[0])
 
         def slide_block(name, q_new, k_new, v_new, scale):
             acc = dict(m=st["m" + name], l=st["l" + name], a=st["a" + name])
@@ -400,7 +412,7 @@ class HRNMPBBoxHead(nn.Module):
                                              (0, slot))
             # fresh accumulators + health rows for the arriving frame
             fr, frM = init_rows(q_new, out["k" + name], out[vkey], mask_all,
-                                scale, slots=T)
+                                scale, slots=T, slot_rows=R)
             acc = dict(m=put_rows(acc["m"], fr["m"]),
                        l=put_rows(acc["l"], fr["l"]),
                        a=put_rows(acc["a"], fr["a"]))
@@ -438,9 +450,9 @@ class HRNMPBBoxHead(nn.Module):
 
         def rebuild(_):
             a1, m1 = init_rows(out["q1"], out["k1"], out["fc1"], mask_all,
-                               self.selsa_1.scale, slots=T)
+                               self.selsa_1.scale, slots=T, slot_rows=R)
             a3, m3 = init_rows(out["q3"], out["k3"], out["fc3s"], mask_all,
-                               self.selsa_3.scale, slots=T)
+                               self.selsa_3.scale, slots=T, slot_rows=R)
             return a1, m1, a3, m3
 
         def keep(_):
@@ -470,7 +482,7 @@ class HRNMPBBoxHead(nn.Module):
                                                 init_rows, repair, slide)
         T, P = st["mask"].shape
         R = T * P
-        mask_all = st["mask"].reshape(R)
+        mask_all = _pad_mask(st["mask"].reshape(R), st["fc1"].shape[0])
         row0 = center * P
         take_rows = lambda arr: jax.lax.dynamic_slice_in_dim(arr, row0, P, 0)
         put_rows = lambda arr, new: jax.lax.dynamic_update_slice_in_dim(
@@ -509,7 +521,7 @@ class HRNMPBBoxHead(nn.Module):
             bad = degenerate_rows(acc3, M3, th).any()
         else:
             acc3, _ = repair(acc3, M3, q3, k3_eff, fc3_eff, mask_all, scale3,
-                             T, theta=th)
+                             T, theta=th, slot_rows=R)
         att3 = finalize(acc3)                                   # (R, D)
 
         acc_c = init_rows(q3f, k3_eff, fc3_eff, mask_all, scale3)
@@ -534,12 +546,12 @@ class HRNMPBBoxHead(nn.Module):
         chunk's health flag was set, i.e. vanishingly rarely."""
         from ...ops.streaming_attention import init_rows
         T, P = st["mask"].shape
-        mask_all = st["mask"].reshape(T * P)
+        mask_all = _pad_mask(st["mask"].reshape(T * P), st["fc1"].shape[0])
         out = dict(st)
         a1, M1 = init_rows(st["q1"], st["k1"], st["fc1"], mask_all,
-                           self.selsa_1.scale, slots=T)
+                           self.selsa_1.scale, slots=T, slot_rows=T * P)
         a3, M3 = init_rows(st["q3"], st["k3"], st["fc3s"], mask_all,
-                           self.selsa_3.scale, slots=T)
+                           self.selsa_3.scale, slots=T, slot_rows=T * P)
         out["m1"], out["l1"], out["a1"], out["M1"] = \
             a1["m"], a1["l"], a1["a"], M1
         out["m3"], out["l3"], out["a3"], out["M3"] = \

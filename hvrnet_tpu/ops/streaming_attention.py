@@ -153,13 +153,17 @@ def slide(acc: Dict, q: jnp.ndarray,
 
 
 def init_rows(q_new: jnp.ndarray, k_all: jnp.ndarray, v_all: jnp.ndarray,
-              mask_all: jnp.ndarray, scale: float, slots: int = 0):
+              mask_all: jnp.ndarray, scale: float, slots: int = 0,
+              slot_rows: int = 0):
     """Fresh accumulators for query rows over the full live key set.
 
     q_new: (P, Dk); k_all/v_all: (R, Dk)/(R, Dv); mask_all: (R,).
     With ``slots`` > 0 the keys are taken as slot-major contiguous blocks of
     R // slots rows and the per-slot logit maxima (P, slots) are also
-    returned (the new rows' `slot_max` entries).
+    returned (the new rows' `slot_max` entries).  ``slot_rows`` bounds the
+    slot-covered key prefix when the arrays carry a flash-tile pad tail
+    beyond the T·P grid (the tail is always masked, so it never contributes
+    to accumulators and carries no slot identity).
     """
     s = _logits(q_new, k_all, scale)                      # (P, R)
     s = jnp.where(mask_all[None, :], s, -jnp.inf)
@@ -170,7 +174,8 @@ def init_rows(q_new: jnp.ndarray, k_all: jnp.ndarray, v_all: jnp.ndarray,
                          preferred_element_type=jnp.float32))
     if not slots:
         return acc
-    slot_max = s.reshape(s.shape[0], slots, -1).max(axis=2)
+    cov = slot_rows or s.shape[1]
+    slot_max = s[:, :cov].reshape(s.shape[0], slots, -1).max(axis=2)
     return acc, slot_max
 
 
@@ -197,7 +202,8 @@ def degenerate_rows(acc: Dict, slot_max: jnp.ndarray,
 def repair(acc: Dict, slot_max: jnp.ndarray, q_all: jnp.ndarray,
            k_all: jnp.ndarray, v_all: jnp.ndarray, mask_all: jnp.ndarray,
            scale: float, slots: int,
-           theta: float = THETA) -> Tuple[Dict, jnp.ndarray]:
+           theta: float = THETA,
+           slot_rows: int = 0) -> Tuple[Dict, jnp.ndarray]:
     """Exact full rebuild of every row's accumulators — under a `lax.cond`,
     so the (R, R) pass only executes when `degenerate_rows` flags any row.
 
@@ -210,7 +216,8 @@ def repair(acc: Dict, slot_max: jnp.ndarray, q_all: jnp.ndarray,
     bad = degenerate_rows(acc, slot_max, theta)
 
     def rebuild(_):
-        return init_rows(q_all, k_all, v_all, mask_all, scale, slots=slots)
+        return init_rows(q_all, k_all, v_all, mask_all, scale, slots=slots,
+                         slot_rows=slot_rows)
 
     def keep(_):
         return acc, slot_max

@@ -440,6 +440,354 @@ def rel_drift(cls_a, reg_a, cls_b, reg_b, mask):
     return stats
 
 
+# ---------------------------------------------------- trained full-shape mode
+# VERDICT round-4 item 1: the two evidence halves existed separately —
+# full-shape was raw-head/random-weights (above), trained-decoded was tiny-
+# canvas (tests/test_train_hnmb_e2e.py).  ``--trained`` joins them: the
+# reference training recipe in miniature (SELSA pretrain → strict=False
+# transplant → HNMB triplet training, `/root/reference/configs/
+# faster_rcnn_r101_hrnmp_c5.py:359` load_from, `hnmb_rcnn.py:54-72,321-335`
+# no-grad backbone/RPN) runs on the REAL R101 config AT the real canvas
+# (608×1008, 300 proposals, 31 classes) over a synthetic on-disk VID tree at
+# (1000, 600), then DECODED detections are gated f32-vs-bf16-vs-streaming at
+# T=21 and the hnl_test.py:757 63-frame point, plus trained full-canvas RPN
+# pick agreement.
+
+FULL_W, FULL_H = 1000, 600     # source size → scale 1.0 → 608×1008 canvas
+
+TEST_PIPE_FULL = [
+    dict(type='LoadImageFromFile'),
+    dict(type='Resize', img_scale=(FULL_W, FULL_H), keep_ratio=True),
+    dict(type='RandomFlip', flip_ratio=0),
+    dict(type='Normalize', mean=[103.06, 115.90, 123.15],
+         std=[1.0, 1.0, 1.0], to_rgb=False),
+    dict(type='Pad', size_divisor=16),
+    dict(type='Collect', keys=['img']),
+]
+TRAIN_PIPE_FULL = [
+    dict(type='LoadImageFromFile', to_float32=True),
+    dict(type='LoadAnnotations', with_bbox=True),
+    dict(type='Resize', img_scale=(FULL_W, FULL_H), keep_ratio=True),
+    dict(type='RandomFlip', flip_ratio=0),      # deterministic overfit
+    dict(type='Normalize', mean=[103.06, 115.90, 123.15],
+         std=[1.0, 1.0, 1.0], to_rgb=False),
+    dict(type='Pad', size_divisor=16),
+    dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels']),
+]
+
+
+def build_full_fixture(root, seed=0):
+    """Full-resolution mini-VID tree (tests/test_vid_dataset.py::build_mini_vid
+    upscaled to (1000, 600)): 3 airplane + 2 car videos, two large moving
+    high-contrast objects each; video 0 is 70 frames so the 63-frame window
+    holds distinct frames."""
+    import cv2
+    from tests.test_vid_dataset import write_xml
+    rng = np.random.default_rng(seed)
+    wnids = ["n02691156"] * 3 + ["n02958343"] * 2
+    lens = [70, 8, 8, 8, 8]
+    lines, train_lines = [], []
+    frame_id = 1
+    for v, (wnid, n) in enumerate(zip(wnids, lens)):
+        vpath = f"val/ILSVRC2015_val_{v:08d}"
+        objs = []
+        for _ in range(2):
+            w = int(rng.integers(140, 300))
+            h = int(rng.integers(110, 240))
+            x = int(rng.integers(0, FULL_W - w - 1))
+            y = int(rng.integers(0, FULL_H - h - 1))
+            vx, vy = int(rng.integers(-5, 6)), int(rng.integers(-3, 4))
+            col = rng.integers(170, 256, 3)
+            objs.append((x, y, w, h, vx, vy, col))
+        for i in range(n):
+            img = rng.integers(95, 135, (FULL_H, FULL_W, 3)).astype(np.uint8)
+            boxes = []
+            for x, y, w, h, vx, vy, col in objs:
+                xx = int(np.clip(x + vx * i, 0, FULL_W - w - 1))
+                yy = int(np.clip(y + vy * i, 0, FULL_H - h - 1))
+                img[yy:yy + h, xx:xx + w] = col
+                boxes.append((wnid, (xx, yy, xx + w, yy + h)))
+            ipath = osp.join(root, "JPEGImages", vpath, f"{i:06d}.JPEG")
+            import os
+            os.makedirs(osp.dirname(ipath), exist_ok=True)
+            cv2.imwrite(ipath, img)
+            write_xml(osp.join(root, "Annotations", vpath, f"{i:06d}.xml"),
+                      FULL_W, FULL_H, boxes)
+        lines.append(f"{vpath} {frame_id} 0 {n}")
+        train_lines.append(f"{vpath} 1 {max(n // 2, 1)} {n}")
+        frame_id += n
+    import os
+    os.makedirs(osp.join(root, "ImageSets"), exist_ok=True)
+    with open(osp.join(root, "ImageSets", "VID_val_videos.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(osp.join(root, "ImageSets", "VID_train_15frames.txt"), "w") as f:
+        f.write("\n".join(train_lines) + "\n")
+    return root
+
+
+def train_recipe_full(root, args):
+    """The reference recipe in miniature on the REAL configs at the real
+    canvas; returns the trained HNMB param tree (host)."""
+    import jax
+    import jax.numpy as jnp
+    from hvrnet_tpu.data import VIDSeqDataset
+    from hvrnet_tpu.engine import HNMBRCNN, SelsaRCNN
+    from hvrnet_tpu.engine.stream import collate_train
+    from hvrnet_tpu.engine.train import HNMBTrainer, SelsaTrainer
+    from hvrnet_tpu.utils.config import Config
+    from tests.test_train_hnmb_e2e import _transplant
+
+    np.random.seed(args.seed)
+    ds = VIDSeqDataset(
+        ann_file=osp.join(root, "ImageSets/VID_train_15frames.txt"),
+        img_prefix=root, pipeline=TRAIN_PIPE_FULL, selsa_with_aug=True)
+    assert len(ds) == 5
+    canvas = (608, 1008)
+    # several independent triplet draws per video (the condition frames are
+    # re-sampled per access) so training sees frame diversity, and one
+    # device_put per batch — numpy batches re-upload ~9-45 MB over the
+    # tunnel EVERY step otherwise (measured 1.6 s/step vs the ~40 ms
+    # compute)
+    draws = 3
+    samples = [[collate_train(ds[v], canvas, gt_max=8) for v in range(5)]
+               for _ in range(draws)]
+    opt = dict(optimizer=dict(lr=args.lr, momentum=0.9, weight_decay=0.0),
+               lr_config=dict(step=[], warmup_iters=100, warmup_ratio=0.1))
+
+    cfg_s = Config.fromfile(osp.join(REPO,
+                                     "configs/faster_rcnn_r101_selsa_c5.py"))
+    cfg_h = Config.fromfile(osp.join(REPO,
+                                     "configs/faster_rcnn_r101_hrnmp_c5.py"))
+
+    # ---- stage 1: SELSA pretrain over all 5 videos' triplets.
+    # test_cfg=None: training engines must keep the TRAIN head dims
+    # (sampler_num=128 / t_dim=3|9) — the test_cfg bbox_head override
+    # (300/21) is for inference engines only (tools/train.py:68 does the
+    # same).
+    eng_s = SelsaRCNN(cfg_s.model, cfg_s.train_cfg, None,
+                      dtype=jnp.float32)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        params0 = eng_s.init_params(jax.random.PRNGKey(args.seed))
+    params0 = jax.device_put(params0, jax.devices()[0])
+    tr_s = SelsaTrainer(eng_s, opt, steps_per_epoch=1 << 20)
+    state = tr_s.create_state(params0)
+    step_s = tr_s.make_train_step(*canvas)
+    batches = [jax.device_put({k: v[None] for k, v in s.items()},
+                              jax.devices()[0])
+               for grp in samples for s in grp]
+    t0 = time.time()
+    logs = None
+    for i in range(args.selsa_steps):
+        state, logs = step_s(state, batches[i % len(batches)],
+                             jax.random.PRNGKey(1000 + i))
+        if i % 200 == 199 or i == args.selsa_steps - 1:
+            host = {k: round(float(v), 4)
+                    for k, v in jax.device_get(logs).items()}
+            print(json.dumps(dict(section="trained_selsa_logs", step=i + 1,
+                                  **host)))
+    loss_s = float(jax.device_get(logs["loss"]))
+    print(json.dumps(dict(section="trained_selsa_pretrain",
+                          steps=args.selsa_steps, final_loss=round(loss_s, 4),
+                          s=round(time.time() - t0, 1))))
+    selsa_trained = jax.device_get(state.params)
+    del state, step_s, batches
+
+    # ---- stage 2: strict=False transplant into the HNMB tree
+    eng_h = HNMBRCNN(cfg_h.model, cfg_h.train_cfg, None,
+                     dtype=jnp.float32)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        params_h0 = jax.device_get(
+            eng_h.init_params(jax.random.PRNGKey(args.seed + 1)))
+    params_h = _transplant(params_h0, selsa_trained)
+
+    # ---- stage 3: HNMB triplet training (no-grad backbone/RPN)
+    batches_h = [jax.device_put(
+        {k: np.concatenate([s[k] for s in grp], axis=0)[None]
+         for k in grp[0]}, jax.devices()[0]) for grp in samples]
+    tr_h = HNMBTrainer(eng_h, opt, steps_per_epoch=1 << 20)
+    state_h = tr_h.create_state(
+        jax.device_put(params_h, jax.devices()[0]))
+    step_h = tr_h.make_train_step(*canvas)
+    t0 = time.time()
+    logs0 = logs = None
+    for i in range(args.hnmb_steps):
+        state_h, logs = step_h(state_h, batches_h[i % len(batches_h)],
+                               jax.random.PRNGKey(5000 + i))
+        if logs0 is None:
+            logs0 = jax.device_get(logs)
+        if i % 100 == 99 or i == args.hnmb_steps - 1:
+            host = {k: round(float(v), 4)
+                    for k, v in jax.device_get(logs).items()}
+            print(json.dumps(dict(section="trained_hnmb_logs", step=i + 1,
+                                  **host)))
+    logs = jax.device_get(logs)
+    print(json.dumps(dict(section="trained_hnmb_train", steps=args.hnmb_steps,
+                          first_loss=round(float(logs0["loss"]), 4),
+                          final_loss=round(float(logs["loss"]), 4),
+                          s=round(time.time() - t0, 1))))
+    assert np.isfinite(logs["loss"])
+    return jax.device_get(state_h.params)
+
+
+def _result_dets(res):
+    """Per-class det lists → ((N,5) dets, (N,) 1-based labels, all-valid)."""
+    dets, labels = [], []
+    for c, arr in enumerate(res):
+        for row in np.asarray(arr, np.float32).reshape(-1, 5):
+            dets.append(row)
+            labels.append(c + 1)
+    if not dets:
+        return (np.zeros((0, 5), np.float32), np.zeros((0,), np.int64),
+                np.zeros((0,), bool))
+    return (np.stack(dets), np.asarray(labels, np.int64),
+            np.ones(len(dets), bool))
+
+
+def run_trained(args):
+    import pickle
+    import jax
+    import jax.numpy as jnp
+    from hvrnet_tpu.core.evaluation.mean_ap import eval_map
+    from hvrnet_tpu.data import VIDSeqDataset
+    from hvrnet_tpu.engine import SlidingWindowRunner
+    from hvrnet_tpu.engine.stream import prefetch_stream, test_frame_stream
+    from tests.test_bf16_budget import det_drift
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hvrnet_tpu_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    failures = []
+    root = args.fixture_dir
+    if not osp.isfile(osp.join(root, "ImageSets/VID_val_videos.txt")):
+        t0 = time.time()
+        build_full_fixture(root, seed=args.seed)
+        print(json.dumps(dict(section="trained_fixture", root=root,
+                              s=round(time.time() - t0, 1))))
+
+    cache = args.train_cache
+    if cache and osp.isfile(cache) and not args.retrain:
+        with open(cache, "rb") as f:
+            trained = pickle.load(f)
+        print(json.dumps(dict(section="trained_params", source=cache)))
+    else:
+        trained = train_recipe_full(root, args)
+        if cache:
+            with open(cache, "wb") as f:
+                pickle.dump(trained, f)
+
+    def make_ds():
+        return VIDSeqDataset(
+            ann_file=osp.join(root, "ImageSets/VID_val_videos.txt"),
+            img_prefix=root, pipeline=TEST_PIPE_FULL, test_mode=True,
+            world_size=1, video_shuffle=True)
+
+    gt_ds = make_ds()
+    anns = [gt_ds.get_ann_info(i) for i in range(len(gt_ds))]
+    gts = [a["bboxes"] for a in anns]
+    gls = [a["labels"] for a in anns]
+
+    def run_variant(dtype, window, stream):
+        eng = build_engine("hvrnet", dtype, window=window, stream=stream)
+        p = jax.device_put(trained, jax.devices()[0])
+        p = eng.cast_head_params_bf16(p)          # no-op for f32 engines
+        ds = make_ds()
+        runner = SlidingWindowRunner(eng, p, branch=-1)
+        t0 = time.time()
+        results = runner.run(prefetch_stream(test_frame_stream(ds)),
+                             num_frames=len(ds))
+        m, _ = eval_map(results, gts, gls, iou_thr=0.5, print_summary=False)
+        return results, float(m), round(time.time() - t0, 1)
+
+    # ---- trained full-canvas RPN pick agreement (expect ~1.0): the f32 and
+    # bf16 frame programs over real pipeline frames with TRAINED weights
+    if not args.skip_pick_agree:
+        eng32 = build_engine("hvrnet", jnp.float32)
+        eng16 = build_engine("hvrnet", jnp.bfloat16)
+        p32 = jax.device_put(trained, jax.devices()[0])
+        p16 = eng16.cast_head_params_bf16(p32)
+        ds = make_ds()
+        fracs = []
+        for i in range(0, len(ds), max(len(ds) // 8, 1)):
+            item = ds[i]
+            img = item["img"].astype(np.float32)
+            meta = item["img_meta"]
+            from hvrnet_tpu.engine.canvas import pad_to_canvas
+            img = jnp.asarray(pad_to_canvas(img, CANVAS)[None])
+            a = eng32.frame_features(p32, img, meta["img_shape"][:2],
+                                     meta["pad_shape"][:2])
+            b = eng16.frame_features(p16, img, meta["img_shape"][:2],
+                                     meta["pad_shape"][:2])
+            m = np.asarray(a["mask"])
+            agree = ((np.abs(np.asarray(a["boxes"], np.float32)
+                             - np.asarray(b["boxes"], np.float32)).max(-1)
+                      < 0.05) & m & np.asarray(b["mask"]))
+            fracs.append(float(agree.sum()) / max(int(m.sum()), 1))
+        pick_agree = float(np.mean(fracs))
+        print(json.dumps(dict(section="trained_rpn_pick_agreement",
+                              frames=len(fracs), canvas=list(CANVAS),
+                              pick_agree=round(pick_agree, 4))))
+        if pick_agree < 0.99:
+            failures.append(f"trained RPN pick agreement {pick_agree}")
+        del eng32, eng16, p32, p16
+
+    # ---- decoded f32 / bf16 / bf16-streaming at T=21 and T=63
+    for window in [int(w) for w in args.windows.split(",")]:
+        w_arg = None if window == 21 else window
+        res32, map32, t32 = run_variant(jnp.float32, w_arg, False)
+        res16, map16, t16 = run_variant(jnp.bfloat16, w_arg, False)
+        res_s, map_s, t_s = run_variant(jnp.bfloat16, w_arg, True)
+
+        def drift(ra, rb):
+            fr, px, sc = [], [], []
+            for a, b in zip(ra, rb):
+                da, la, va = _result_dets(a)
+                db, lb, vb = _result_dets(b)
+                if not len(da) and not len(db):
+                    continue
+                f, p, s = det_drift(da, la, va, db, lb, vb)
+                fr.append(f)
+                px.append(p)
+                sc.append(s)
+            return (float(np.mean(fr)) if fr else 1.0,
+                    float(np.max(px)) if px else 0.0,
+                    float(np.max(sc)) if sc else 0.0)
+
+        fr16, px16, sc16 = drift(res32, res16)
+        frs, pxs, scs = drift(res16, res_s)
+        report = dict(section="trained_decoded_full_shape", window=window,
+                      canvas=list(CANVAS), frames=len(res32),
+                      map_f32=round(map32, 4), map_bf16=round(map16, 4),
+                      map_stream=round(map_s, 4),
+                      d_map_bf16=round(abs(map32 - map16), 4),
+                      d_map_stream=round(abs(map16 - map_s), 4),
+                      bf16_matched=round(fr16, 4),
+                      bf16_box_px=round(px16, 3),
+                      bf16_score_d=round(sc16, 4),
+                      stream_matched=round(frs, 4),
+                      stream_box_px=round(pxs, 3),
+                      stream_score_d=round(scs, 4),
+                      s=[t32, t16, t_s])
+        print(json.dumps(report))
+        if map32 < 0.5:
+            failures.append(f"T={window}: recipe did not localize "
+                            f"(mAP {map32})")
+        if abs(map32 - map16) > 0.05:
+            failures.append(f"T={window}: bf16 dMAP {abs(map32 - map16)}")
+        if abs(map16 - map_s) > 0.05:
+            failures.append(f"T={window}: streaming dMAP "
+                            f"{abs(map16 - map_s)}")
+        if fr16 < 0.9 or px16 > 4.0:
+            failures.append(f"T={window}: bf16 drift matched={fr16} "
+                            f"px={px16}")
+        if frs < 0.9 or pxs > 4.0:
+            failures.append(f"T={window}: streaming drift matched={frs} "
+                            f"px={pxs}")
+
+    if failures:
+        print(json.dumps(dict(section="FAILURES", items=failures)))
+        sys.exit(1)
+
+
 # ---------------------------------------------------------------------- main
 def main():
     ap = argparse.ArgumentParser()
@@ -456,7 +804,31 @@ def main():
                     help="skip the full-canvas RPN pick-agreement section "
                          "(the slow R101 frame programs)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--trained", action="store_true",
+                    help="trained decoded evidence at the full operating "
+                         "point: run the reference training recipe in "
+                         "miniature on the REAL configs at the real canvas, "
+                         "then gate decoded f32/bf16/streaming dMAP at "
+                         "--windows plus trained RPN pick agreement")
+    ap.add_argument("--windows", default="21,63",
+                    help="--trained: comma-separated window lengths")
+    ap.add_argument("--selsa-steps", type=int, default=2000)
+    ap.add_argument("--hnmb-steps", type=int, default=400)
+    ap.add_argument("--lr", type=float, default=2.5e-3)
+    ap.add_argument("--fixture-dir",
+                    default="/tmp/hvrnet_full_fixture",
+                    help="--trained: on-disk synthetic VID tree location "
+                         "(reused across runs)")
+    ap.add_argument("--train-cache",
+                    default="/tmp/hvrnet_trained_full.pkl",
+                    help="--trained: trained-params pickle (reused unless "
+                         "--retrain); '' disables caching")
+    ap.add_argument("--retrain", action="store_true")
     args = ap.parse_args()
+
+    if args.trained:
+        run_trained(args)
+        return
 
     import jax
     import jax.numpy as jnp
