@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def evaluate_results(result_file: str, config_file: str, iou_thr: float = 0.5,
-                     analysis: bool = False, imagenet_tpfp: bool = False):
+                     analysis: bool = False, imagenet_tpfp: bool = False,
+                     quiet: bool = False):
     from hvrnet_tpu.core.evaluation import analysis_map, eval_map
     from hvrnet_tpu.data import VID_CLASSES, build_dataset
     from hvrnet_tpu.utils.config import Config
@@ -52,9 +53,9 @@ def evaluate_results(result_file: str, config_file: str, iou_thr: float = 0.5,
     if analysis:
         return analysis_map(det_results, gt_bboxes, gt_labels, iou_thr=iou_thr,
                             dataset=VID_CLASSES, file_dir=".",
-                            print_summary=True)
+                            print_summary=not quiet)
     return eval_map(det_results, gt_bboxes, gt_labels, iou_thr=iou_thr,
-                    dataset=ds_name, print_summary=True)
+                    dataset=ds_name, print_summary=not quiet)
 
 
 def main():
