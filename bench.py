@@ -183,6 +183,11 @@ def main():
                          "hidden by async pipelining — for extra XLA "
                          "compiles, so off by default; for hosts where "
                          "dispatch is exposed)")
+    ap.add_argument("--fused", action="store_true",
+                    help="2-dispatch frame structure: backbone | fused "
+                         "post+window stage (engine.ring_step_fused) instead "
+                         "of backbone | post | ring_step "
+                         "(equality-tested, tests/test_fused_poststep.py)")
     ap.add_argument("--pair", type=int, default=1, metavar="P",
                     help="batch P consecutive frames through one feature "
                          "program (the SlidingWindowRunner pair_features "
@@ -271,6 +276,14 @@ def main():
     state, out = engine.ring_step(params, state, feats, ish, sfd,
                                   branch=branch)
     jax.block_until_ready(out)
+    psh = jnp.asarray(pad_shape)
+    if args.fused:
+        if args.pair > 1:
+            raise SystemExit("--fused applies to the sequential loop")
+        c5, cm, rm = engine._backbone_dispatch(params, img, img_shape)
+        state, out = engine.ring_step_fused(params, state, c5, cm, rm,
+                                            ish, psh, sfd, branch=branch)
+        jax.block_until_ready(out)
 
     # best of three windows: the shared dev tunnel shows transient ±30%
     # tenancy noise (BASELINE.md variance note); the max over repeated
@@ -300,6 +313,14 @@ def main():
                     feats = {k: v[j] for k, v in fb.items()}
                     state, out = engine.ring_step(params, state, feats, ish,
                                                   sfd, branch=branch)
+        elif args.fused:
+            for i in range(n):
+                frame, frame_counter = next_frame(imgs[i % len(imgs)],
+                                                  frame_counter)
+                c5, cm, rm = engine._backbone_dispatch(params, frame,
+                                                       img_shape)
+                state, out = engine.ring_step_fused(
+                    params, state, c5, cm, rm, ish, psh, sfd, branch=branch)
         else:
             for i in range(n):
                 frame, frame_counter = next_frame(imgs[i % len(imgs)],
