@@ -121,7 +121,7 @@ def synth_video_dir(root: str, n_frames: int, src_h: int = 540,
 
 
 def run_real_data(engine, params, n_frames: int, workers: int = 4,
-                  u8_transfer: bool = True):
+                  u8_transfer: bool = True, transfer_batch: int = 1):
     """End-to-end fps on on-disk JPEG video through the full host pipeline +
     parallel loader + SlidingWindowRunner (VERDICT weak #5: the device-only
     bench never measured decode/prefetch overlap)."""
@@ -144,12 +144,14 @@ def run_real_data(engine, params, n_frames: int, workers: int = 4,
     # pass 1 compiles every program; pass 2 is the steady-state measurement
     ds = mkds()
     runner.run(parallel_test_frame_stream(ds, rank=0, workers=workers,
-                                          u8_transfer=u8_transfer),
+                                          u8_transfer=u8_transfer,
+                                          transfer_batch=transfer_batch),
                num_frames=len(ds))
     ds2 = mkds()
     t0 = time.perf_counter()
     runner.run(parallel_test_frame_stream(ds2, rank=0, workers=workers,
-                                          u8_transfer=u8_transfer),
+                                          u8_transfer=u8_transfer,
+                                          transfer_batch=transfer_batch),
                num_frames=len(ds2))
     return len(ds2) / (time.perf_counter() - t0)
 
@@ -165,6 +167,10 @@ def main():
                     help="measure end-to-end on an on-disk JPEG video "
                          "(host decode + pipeline + prefetch + runner) "
                          "instead of the device-path synthetic frame")
+    ap.add_argument("--transfer-batch", type=int, default=1,
+                    help="--real-data: group B consecutive frames into one "
+                         "H2D transfer (amortizes the tunnel's per-transfer "
+                         "round trip; numerically identical)")
     ap.add_argument("--stream", action="store_true", default=None,
                     help="streaming-softmax ring (the hvrnet default: "
                          "equality-tested vs the exact ring and faster at "
@@ -228,7 +234,8 @@ def main():
         engine.bind_params(params)
 
     if args.real_data:
-        fps = run_real_data(engine, params, args.frames)
+        fps = run_real_data(engine, params, args.frames,
+                            transfer_batch=args.transfer_batch)
         name = (f"{args.model}_r101_vid_e2e_throughput")
         print(json.dumps({
             "metric": name,

@@ -68,7 +68,8 @@ def test_frame_stream(dataset, rank: int = 0, max_long: int = 1008,
 def parallel_test_frame_stream(dataset, rank: int = 0, workers: int = 4,
                                max_long: int = 1008, max_short: int = 608,
                                prefetch: int = 8,
-                               u8_transfer: bool = False) -> Iterator[Dict]:
+                               u8_transfer: bool = False,
+                               transfer_batch: int = 1) -> Iterator[Dict]:
     """Order-preserving multi-threaded variant of ``test_frame_stream``.
 
     The host pipeline (JPEG decode → resize → normalize → pad → H2D) is the
@@ -87,6 +88,14 @@ def parallel_test_frame_stream(dataset, rank: int = 0, workers: int = 4,
     (4× less host→device traffic; normalization runs on device inside
     frame_features — arithmetic-identical because the pipeline resizes in
     uint8 before normalizing, exactly like the reference).
+
+    ``transfer_batch`` > 1 groups that many consecutive same-canvas frames
+    into ONE host→device transfer (a (B, H, W, 3) stack, sliced back to
+    per-frame views on device).  On a relay/tunnel-attached host the
+    per-transfer round-trip latency dominates small uploads, so batching
+    amortizes it; frames are yielded unchanged and in order (a canvas-shape
+    change mid-batch flushes early).  Numerically identical to the
+    per-frame path.
     """
     import concurrent.futures as cf
     from collections import deque as _deque
@@ -123,6 +132,8 @@ def parallel_test_frame_stream(dataset, rank: int = 0, workers: int = 4,
                             seg_len=int(video["frame_seg_len"]),
                             frame_start_id=int(video["frame_id"])))
 
+    to_dev = transfer_batch <= 1
+
     def load(entry):
         results = dict(img_info=entry["finfo"])
         dataset.pre_pipeline(results)
@@ -131,13 +142,31 @@ def parallel_test_frame_stream(dataset, rank: int = 0, workers: int = 4,
         img = (np.ascontiguousarray(out["img"], np.uint8) if u8_transfer
                else out["img"].astype(np.float32))
         ch, cw = _canvas_for(meta["pad_shape"], max_long, max_short)
-        return dict(
-            img=jnp.asarray(pad_to_canvas(img, (ch, cw))[None]),
+        canvas = pad_to_canvas(img, (ch, cw))
+        d = dict(
             img_shape=np.asarray(meta["img_shape"][:2], np.float32),
             pad_shape=np.asarray(meta["pad_shape"][:2], np.float32),
             scale_factor=np.asarray(meta["scale_factor"], np.float32),
             key_frame_flag=entry["flag"], frame_offset=entry["offset"],
             seg_len=entry["seg_len"], frame_start_id=entry["frame_start_id"])
+        if to_dev:
+            # H2D issued from the worker thread (overlaps device compute)
+            d["img"] = jnp.asarray(canvas[None])
+        else:
+            d["img_host"] = canvas
+        return d
+
+    pend: List[Dict] = []
+
+    def flush():
+        if len(pend) == 1:
+            pend[0]["img"] = jnp.asarray(pend[0].pop("img_host")[None])
+        else:
+            dev = jnp.asarray(np.stack([p.pop("img_host") for p in pend]))
+            for i, p in enumerate(pend):
+                p["img"] = dev[i:i + 1]
+        out, pend[:] = list(pend), []
+        return out
 
     with cf.ThreadPoolExecutor(max_workers=workers) as ex:
         futs: "_deque" = _deque()
@@ -150,7 +179,17 @@ def parallel_test_frame_stream(dataset, rank: int = 0, workers: int = 4,
             e = next(it, None)
             if e is not None:
                 futs.append(ex.submit(load, e))
-            yield f.result()
+            r = f.result()
+            if to_dev:
+                yield r
+                continue
+            if pend and pend[0]["img_host"].shape != r["img_host"].shape:
+                yield from flush()
+            pend.append(r)
+            if len(pend) >= transfer_batch:
+                yield from flush()
+        if pend:
+            yield from flush()
 
 
 def collate_train(frames: Sequence[Dict], canvas_hw, gt_max: int = 32) -> Dict:

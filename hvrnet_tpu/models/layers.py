@@ -20,7 +20,15 @@ Dtype = Any
 
 
 class FrozenBN(nn.Module):
-    """BatchNorm with frozen statistics and affine params (inference form)."""
+    """BatchNorm with frozen statistics and affine params (inference form).
+
+    Calibration mode (``apply(..., mutable=["calib"])`` — see
+    engine/calibrate.py): normalizes with THIS input's per-channel moments
+    instead of the stored statistics and sows them into the ``calib``
+    collection, so every downstream module already sees post-calibration
+    activations and the whole network calibrates exactly in one forward
+    (LSUV-style).  The branch is a trace-time conditional — the normal
+    inference/training apply is untouched."""
     features: int
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
@@ -31,6 +39,16 @@ class FrozenBN(nn.Module):
         beta = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         mean = self.param("mean", nn.initializers.zeros, (self.features,), jnp.float32)
         var = self.param("var", nn.initializers.ones, (self.features,), jnp.float32)
+        if self.is_mutable_collection("calib") and not self.is_initializing():
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mu = xf.mean(axes)
+            m2 = (xf * xf).mean(axes)
+            self.sow("calib", "mean", mu, reduce_fn=lambda a, b: b)
+            self.sow("calib", "m2", m2, reduce_fn=lambda a, b: b)
+            mean = mu
+            # dead channels (constant input) stay inert: x − mean ≡ 0
+            var = jnp.maximum(m2 - mu * mu, 1e-8)
         scale = gamma * jax.lax.rsqrt(var + self.eps)
         bias = beta - mean * scale
         # frozen statistics never receive gradient
@@ -87,15 +105,24 @@ class _StemKernel(nn.Module):
 
 class _StemBN(nn.Module):
     """FrozenBN's four parameter tensors without its broadcast — the fused
-    stem applies them over (r, s, o)-grouped channels."""
+    stem applies them over (r, s, o)-grouped channels.  In calibration mode
+    the caller passes the observed (mean, mean-of-squares) of the plain stem
+    conv output; they are sown into ``calib`` and used in place of the
+    stored statistics (see FrozenBN)."""
     features: int = 64
 
     @nn.compact
-    def __call__(self):
+    def __call__(self, calib_moments=None):
         g = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         m = self.param("mean", nn.initializers.zeros, (self.features,), jnp.float32)
         v = self.param("var", nn.initializers.ones, (self.features,), jnp.float32)
+        if calib_moments is not None:
+            mu, m2 = calib_moments
+            self.sow("calib", "mean", mu, reduce_fn=lambda a, b: b)
+            self.sow("calib", "m2", m2, reduce_fn=lambda a, b: b)
+            m = mu
+            v = jnp.maximum(m2 - mu * mu, 1e-8)
         return g, b, m, v
 
 
@@ -158,13 +185,26 @@ class StemBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         kernel = _StemKernel(name="conv")()
+        B, H, W, C = x.shape
+        dn = ("NHWC", "HWIO", "NHWC")
+        if self.is_mutable_collection("calib") and not self.is_initializing():
+            # calibration mode (engine/calibrate.py): plain conv path, BN
+            # statistics from THIS output's moments (performance irrelevant)
+            out = jax.lax.conv_general_dilated(
+                x.astype(jnp.float32), kernel, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=dn)
+            mu = out.mean((0, 1, 2))
+            m2 = (out * out).mean((0, 1, 2))
+            g, b, m, v = _StemBN(name="bn")((mu, m2))
+            scale = jax.lax.stop_gradient(g * jax.lax.rsqrt(v + 1e-5))
+            bias = jax.lax.stop_gradient(b - m * scale)
+            out = (out * scale + bias).astype(self.dtype)
+            return max_pool_3x3_s2_p1(nn.relu(out))
         g, b, m, v = _StemBN(name="bn")()
         scale = g * jax.lax.rsqrt(v + 1e-5)
         bias = b - m * scale
         scale = jax.lax.stop_gradient(scale)
         bias = jax.lax.stop_gradient(bias)
-        B, H, W, C = x.shape
-        dn = ("NHWC", "HWIO", "NHWC")
         if H % 4 == 0 and W % 4 == 0 and C == 3:
             # one-hot space-to-depth conv: (H, W, 3) -> (H/4, W/4, 48).
             # The conv form is the best of three lowerings tried for this

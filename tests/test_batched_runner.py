@@ -149,6 +149,41 @@ def test_u8_transfer_equals_float_path(mini_vid):  # noqa: F811
                                        err_msg=str(i))
 
 
+def test_transfer_batch_equals_per_frame(mini_vid):  # noqa: F811
+    """transfer_batch groups B consecutive frames into one H2D stack sliced
+    back to per-frame views; every yielded frame (pixels + metadata + order)
+    must be bit-identical to the per-frame-transfer path, including the
+    tail batch shorter than B."""
+    from hvrnet_tpu.data import VIDSeqDataset
+    from hvrnet_tpu.engine.stream import parallel_test_frame_stream
+
+    ann = osp.join(mini_vid, "ImageSets/VID_val_videos.txt")
+
+    def mkds():
+        return VIDSeqDataset(ann_file=ann, img_prefix=mini_vid,
+                             pipeline=TEST_PIPELINE, test_mode=True,
+                             world_size=1, video_shuffle=False)
+
+    for u8, tb in [(True, 3), (False, 4)]:
+        base = list(parallel_test_frame_stream(
+            mkds(), rank=0, workers=2, max_long=96, max_short=64,
+            u8_transfer=u8))
+        bat = list(parallel_test_frame_stream(
+            mkds(), rank=0, workers=2, max_long=96, max_short=64,
+            u8_transfer=u8, transfer_batch=tb))
+        assert len(base) == len(bat)
+        for i, (a, b) in enumerate(zip(base, bat)):
+            assert a["img"].dtype == b["img"].dtype
+            np.testing.assert_array_equal(np.asarray(a["img"]),
+                                          np.asarray(b["img"]),
+                                          err_msg=f"u8={u8} frame {i}")
+            for k in ("img_shape", "pad_shape", "scale_factor"):
+                np.testing.assert_array_equal(a[k], b[k])
+            for k in ("key_frame_flag", "frame_offset", "seg_len",
+                      "frame_start_id"):
+                assert a[k] == b[k], (i, k)
+
+
 def test_u8_transfer_honors_engine_img_norm(mini_vid):  # noqa: F811
     """With a NON-default Normalize in the pipeline, the u8 path must use
     the matching engine.img_norm override (tools/test.py wires it from the

@@ -588,6 +588,17 @@ def train_recipe_full(root, args):
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         params0 = eng_s.init_params(jax.random.PRNGKey(args.seed))
     params0 = jax.device_put(params0, jax.devices()[0])
+    # FrozenBN statistic calibration (engine/calibrate.py): the reference
+    # relies on pretrained running stats to keep R101 activations O(1)
+    # (load_from, faster_rcnn_r101_hrnmp_c5.py:359); from random init the
+    # frozen (0, 1) stats explode c5 to ~1e10 and training collapses to
+    # prior-only predictions (measured: fc1 std 3e-3, mAP 0.012) — the
+    # miniature recipe calibrates on the fixture instead.
+    from hvrnet_tpu.engine.calibrate import calibrate_frozen_bn
+    calib_imgs = [s["imgs"][:1] for s in samples[0]]
+    params0, calib_hist = calibrate_frozen_bn(eng_s, params0, calib_imgs)
+    print(json.dumps(dict(section="trained_bn_calibration",
+                          **calib_hist[-1])))
     tr_s = SelsaTrainer(eng_s, opt, steps_per_epoch=100)
     state = tr_s.create_state(params0)
     step_s = tr_s.make_train_step(*canvas)

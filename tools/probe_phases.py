@@ -32,6 +32,13 @@ def main():
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--window", type=int, default=None)
     ap.add_argument("--stream", action="store_true")
+    ap.add_argument("--trace", nargs="?", const="/tmp/jaxtrace_phases",
+                    default=None, metavar="DIR",
+                    help="after the timed windows, capture one extra "
+                         "interleaved window under jax.profiler.trace and "
+                         "print tools/trace_report.py's per-module table — "
+                         "the only trustworthy absolute device-time source "
+                         "on the relay (CLAUDE.md measurement rules)")
     args = ap.parse_args()
 
     import jax
@@ -116,6 +123,28 @@ def main():
             st, out = ring(params, st, feats)
         jax.block_until_ready(out)
         t_c = min(t_c, (time.perf_counter() - t0) / n * 1e3)
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            o = img
+            for _ in range(n):
+                o = bb_chained(params, o)
+            jax.block_until_ready(o)
+            o = img
+            for _ in range(n):
+                o = ab_chained(params, o)
+            jax.block_until_ready(o)
+            for _ in range(n):
+                st, out = ring(params, st, feats)
+            jax.block_until_ready(out)
+        import os
+        import subprocess
+        env = dict(os.environ,
+                   PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION="python")
+        subprocess.run([sys.executable,
+                        osp.join(osp.dirname(osp.abspath(__file__)),
+                                 "trace_report.py"), args.trace],
+                       env=env, check=False)
 
     print(f"A backbone+RPN maps: {t_a:.2f} ms", flush=True)
     print(f"A+B frame_features:  {t_ab:.2f} ms  (B ≈ {t_ab - t_a:.2f})",

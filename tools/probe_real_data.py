@@ -101,13 +101,14 @@ def main():
         params = engine.init_params(jax.random.PRNGKey(0))
     params = engine.cast_head_params_bf16(params)
     params = jax.device_put(params, jax.devices()[0])
-    grid = [(True, 4), (True, 1), (False, 4)]
-    e2e = {f"u8={u8},w={w}": 0.0 for u8, w in grid}
+    grid = [(True, 4, 1), (True, 1, 1), (False, 4, 1),
+            (True, 4, 4), (True, 4, 8)]
+    e2e = {f"u8={u8},w={w},tb={tb}": 0.0 for u8, w, tb in grid}
     for _ in range(args.reps):
-        for u8, w in grid:
+        for u8, w, tb in grid:
             fps = run_real_data(engine, params, args.frames, workers=w,
-                                u8_transfer=u8)
-            key = f"u8={u8},w={w}"
+                                u8_transfer=u8, transfer_batch=tb)
+            key = f"u8={u8},w={w},tb={tb}"
             e2e[key] = max(e2e[key], round(fps, 1))
     report.update(e2e_fps=e2e)
     print(json.dumps(report))
