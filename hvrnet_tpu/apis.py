@@ -104,8 +104,15 @@ def train_detector(engine, dataset, cfg, mesh=None, work_dir: str = "work_dir",
                    resume_from: Optional[str] = None,
                    load_from: Optional[str] = None,
                    log_interval: int = 50, max_steps_per_epoch: Optional[int] = None,
-                   seed: int = 0, eval_hook=None):
-    """Epoch training loop (replaces mmcv Runner, reference apis/train.py)."""
+                   seed: int = 0, eval_hook=None, calibrate_bn: bool = False):
+    """Epoch training loop (replaces mmcv Runner, reference apis/train.py).
+
+    ``calibrate_bn``: set every FrozenBN running statistic from the first
+    training batch before creating the optimizer state
+    (engine/calibrate.py) — required for training the frozen-BN backbones
+    from random init, where the default (0, 1) statistics explode deep
+    activations (the reference always starts from pretrained stats via
+    ``load_from``)."""
     import jax
 
     os.makedirs(work_dir, exist_ok=True)
@@ -115,6 +122,14 @@ def train_detector(engine, dataset, cfg, mesh=None, work_dir: str = "work_dir",
     trainer = build_trainer(engine, cfg, mesh=mesh,
                             steps_per_epoch=steps_per_epoch)
     params = load_params_for_engine(engine, load_from)
+    if calibrate_bn:
+        from .engine.calibrate import calibrate_frozen_bn
+        probe = next(train_batch_iterator(dataset, canvas_hw, batch_size=1,
+                                          seed=seed))
+        n_imgs = min(4, probe["imgs"].shape[1])
+        imgs = [probe["imgs"][0, f:f + 1] for f in range(n_imgs)]
+        params, hist = calibrate_frozen_bn(engine, params, imgs)
+        logger.info("FrozenBN calibration: %s", hist[-1])
     state = trainer.create_state(params)
     start_epoch = 0
     if resume_from:

@@ -45,6 +45,36 @@ def test_train_detector_epoch_loop(mini_vid, tmp_path):  # noqa: F811
     assert int(restored.step) == 2
 
 
+def test_train_detector_calibrate_bn(mini_vid, tmp_path):  # noqa: F811
+    """train_detector(calibrate_bn=True) (the tools/train.py --calibrate-bn
+    path): the frozen-BN stats must be set from the first batch before the
+    first step, and the loop must still run to a finite loss."""
+    import jax
+    from hvrnet_tpu.apis import train_detector
+    from hvrnet_tpu.data import VIDSeqDataset
+    from hvrnet_tpu.engine import SelsaRCNN
+
+    ds = VIDSeqDataset(
+        ann_file=osp.join(mini_vid, "ImageSets/VID_train_15frames.txt"),
+        img_prefix=mini_vid, pipeline=TRAIN_PIPELINE, selsa_with_aug=True)
+    engine = SelsaRCNN(tiny_model_cfg(sampler_num=8, t_dim=3),
+                       tiny_train_cfg(two_stage_sampler=True, num=16,
+                                      ohem_num=8), None)
+    cfg = dict(optimizer=dict(lr=1e-3, momentum=0.9, weight_decay=1e-4),
+               lr_config=dict(step=[1], warmup_iters=2, warmup_ratio=1 / 3),
+               optimizer_config=dict(grad_clip=dict(max_norm=35)),
+               checkpoint_config=dict(interval=1), total_epochs=1)
+    state = train_detector(engine, ds, cfg, mesh=None,
+                           work_dir=str(tmp_path / "run"), total_epochs=1,
+                           canvas_hw=(64, 96), max_steps_per_epoch=1,
+                           log_interval=1, calibrate_bn=True)
+    assert int(state.step) == 1
+    # stats were calibrated: the stem BN no longer carries the (0, 1) init
+    bn = jax.device_get(state.params)["params"]["backbone"]["stem"]["bn"]
+    assert not np.allclose(bn["var"], 1.0)
+    assert np.all(np.isfinite(bn["var"])) and np.all(bn["var"] > 0)
+
+
 def test_training_improves_map_on_fixture(mini_vid):  # noqa: F811
     """Detection-quality sanity (beyond loss-decreases): overfitting one
     fixture batch must raise mAP@0.3 on that batch's key frame from the

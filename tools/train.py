@@ -35,6 +35,12 @@ def parse_args():
                    help="static training canvas (default: config canvas_hw "
                         "or 608 1008, the (1000,600) keep-ratio bucket)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--calibrate-bn", action="store_true",
+                   help="set the frozen-BN running statistics from the "
+                        "first training batch before optimizing "
+                        "(engine/calibrate.py) — required when training "
+                        "from random init instead of the reference's "
+                        "pretrained load_from checkpoint")
     p.add_argument("--validate", action="store_true",
                    help="run the sliding-window VID eval after each epoch "
                         "(reference tools/train.py:22 → DistEvalmAPHook; "
@@ -92,7 +98,8 @@ def main():
         resume_from=args.resume_from or cfg.get("resume_from"),
         load_from=args.load_from or cfg.get("load_from"),
         max_steps_per_epoch=args.max_steps_per_epoch,
-        seed=args.seed or 0, eval_hook=eval_hook)
+        seed=args.seed or 0, eval_hook=eval_hook,
+        calibrate_bn=args.calibrate_bn)
 
 
 if __name__ == "__main__":
