@@ -189,11 +189,16 @@ def main():
                          "hidden by async pipelining — for extra XLA "
                          "compiles, so off by default; for hosts where "
                          "dispatch is exposed)")
-    ap.add_argument("--fused", action="store_true",
+    ap.add_argument("--fused", action="store_true", default=None,
                     help="2-dispatch frame structure: backbone | fused "
                          "post+window stage (engine.ring_step_fused) instead "
                          "of backbone | post | ring_step "
-                         "(equality-tested, tests/test_fused_poststep.py)")
+                         "(equality-tested, tests/test_fused_poststep.py). "
+                         "Default: on at --window >= 35, where the "
+                         "interleaved A/B wins (8.01 -> 7.71 ms/frame at "
+                         "T=63); a tie at T=21 (4.42 vs 4.49), so the "
+                         "headline keeps the split structure")
+    ap.add_argument("--no-fused", dest="fused", action="store_false")
     ap.add_argument("--pair", type=int, default=1, metavar="P",
                     help="batch P consecutive frames through one feature "
                          "program (the SlidingWindowRunner pair_features "
@@ -215,6 +220,13 @@ def main():
 
     engine = build_engine(args.model, window=args.window,
                           stream=bool(args.stream))
+    if args.fused is None:
+        # resolved against the built engine's window: the fused post+step
+        # saves a dispatch and the fc1 HBM round trip, which pays once the
+        # window stage dominates (T=63 A/B: 124.9 -> 129.8 fps,
+        # tools/probe_fused_step.py) and is noise at the T=21 headline
+        args.fused = (args.model == "hvrnet" and engine.window >= 35
+                      and not args.real_data and args.pair == 1)
     if args.cond_repair:
         if not args.stream:
             raise SystemExit("--cond-repair applies to the streaming ring")
