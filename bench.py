@@ -199,6 +199,17 @@ def main():
                          "T=63); a tie at T=21 (4.42 vs 4.49), so the "
                          "headline keeps the split structure")
     ap.add_argument("--no-fused", dest="fused", action="store_false")
+    ap.add_argument("--windows", type=int, default=6,
+                    help="number of measurement windows; the reported fps is "
+                         "the best window (steady-state estimator under "
+                         "tenancy noise, BASELINE.md methodology audit)")
+    ap.add_argument("--spread", type=float, default=6.0,
+                    help="seconds to sleep between measurement windows. "
+                         "Tenancy on the shared tunnel swings several-fold "
+                         "over MINUTES, so back-to-back windows (~0.5 s "
+                         "total) sample a single tenancy slice; spreading "
+                         "the windows over ~30 s gives the best-of a chance "
+                         "to catch a quiet slice. 0 restores back-to-back")
     ap.add_argument("--pair", type=int, default=1, metavar="P",
                     help="batch P consecutive frames through one feature "
                          "program (the SlidingWindowRunner pair_features "
@@ -304,9 +315,11 @@ def main():
                                             ish, psh, sfd, branch=branch)
         jax.block_until_ready(out)
 
-    # best of three windows: the shared dev tunnel shows transient ±30%
-    # tenancy noise (BASELINE.md variance note); the max over repeated
-    # windows estimates the chip's actual steady-state throughput
+    # best of N windows SPREAD over wall time: the shared dev tunnel shows
+    # several-fold tenancy swings on a minutes timescale (BASELINE.md
+    # variance note), so back-to-back windows all sample the same tenancy
+    # slice; sleeping --spread seconds between windows lets the max over
+    # windows estimate the chip's actual steady-state throughput
     P = max(args.pair, 1)
     if P > 1:
         imgs_p = [jnp.concatenate([imgs[(i + j) % len(imgs)]
@@ -320,7 +333,9 @@ def main():
     n = max(args.frames // 3, 20)
     n = max(n - n % P, P)          # never round the window down to zero
     fps = 0.0
-    for _ in range(3):
+    for w in range(max(args.windows, 1)):
+        if w and args.spread > 0:
+            time.sleep(args.spread)
         t0 = time.perf_counter()
         if P > 1:
             for i in range(n // P):
